@@ -1,0 +1,44 @@
+# -*- coding: utf-8 -*-
+"""george-tpu: TPU-native Gaussian-process regression and inference.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+``gptune/george`` reference (see SURVEY.md): a YAML kernel DSL compiled to
+vmapped JAX covariance functions, exact (batched Cholesky), hierarchical
+(HODLR-class) and compact-support sparse solvers, autodiff and Hutchinson
+marginal-likelihood gradients, posterior prediction and sampling, and
+hyperparameter inference via NUTS/HMC, ensemble MCMC and VI with chains
+sharded over TPU device meshes.
+"""
+
+__version__ = "0.1.0"
+
+from . import kernels  # noqa: F401
+from . import metrics  # noqa: F401
+from . import modeling  # noqa: F401
+from . import solvers  # noqa: F401
+from .gp import GP, TINY  # noqa: F401
+from .metrics import Metric, Subspace  # noqa: F401
+from .solvers import BasicSolver, TrivialSolver  # noqa: F401
+
+try:  # incremental solvers
+    from .solvers import HODLRSolver  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .solvers import SparseSolver  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+__all__ = [
+    "__version__",
+    "GP",
+    "TINY",
+    "Metric",
+    "Subspace",
+    "BasicSolver",
+    "TrivialSolver",
+    "kernels",
+    "metrics",
+    "modeling",
+    "solvers",
+]

@@ -1,0 +1,542 @@
+# -*- coding: utf-8 -*-
+"""The user-facing GP object.
+
+API-compatible re-implementation of the reference ``GP``
+(``src/george/gp.py:23-731``) over the TPU-native stack:
+
+* the covariance is a compiled JAX pair function (``kernels/base.py``);
+* solvers factorize on-device inside fused jitted functions;
+* ``grad_log_likelihood`` is ``jax.grad`` of the whole marginal likelihood
+  (one autodiff sweep), replacing the reference's Regime-A machinery
+  (``gp.py:440-504``: explicit ``K^{-1}``, per-parameter ``dK/dtheta``
+  tensors, einsum contractions); matrix-free solvers instead provide
+  Hutchinson-estimated gradients (reference Regime B, ``gp.py:506-562``).
+
+API notes vs the GPTune fork: ``compute(x, yerr)`` restores the vanilla
+argument order (the fork's ``compute(x, nns, yerr)`` broke its own tests —
+SURVEY.md §4); neighbor structures are the optional keyword ``nns``.
+"""
+
+import warnings
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import kernels
+from .modeling import ModelSet, ConstantModel, Model, CallableModel
+from .solvers import TrivialSolver, BasicSolver
+from .solvers.linalg import assemble_dense, mahalanobis_loglike
+from .utils import multivariate_gaussian_samples
+
+__all__ = ["GP", "TINY"]
+
+# Tiny diagonal jitter (as the default white-noise level) keeping K positive
+# definite in the absence of observational uncertainties (reference
+# ``gp.py:20``).
+TINY = 1.25e-12
+
+
+def _parse_model(model):
+    try:
+        val = float(model)
+    except TypeError:
+        if callable(model) and not isinstance(model, Model):
+            return CallableModel(model)
+        return model
+    return ConstantModel(val)
+
+
+class GP(ModelSet):
+    """A Gaussian process with a mean model, white-noise model and kernel.
+
+    :param kernel: a :class:`kernels.Kernel`; ``None`` means an
+        :class:`EmptyKernel` served by the :class:`TrivialSolver`.
+    :param fit_kernel: include kernel parameters in the fitted vector.
+    :param mean: scalar, callable, or modeling-protocol object for the mean.
+    :param fit_mean: include mean parameters in the fitted vector.
+    :param white_noise: scalar, callable, or model for the *log* white-noise
+        variance added to the diagonal.
+    :param fit_white_noise: include white-noise parameters in the fit.
+    :param solver: solver class (default: :class:`BasicSolver`, or
+        :class:`TrivialSolver` when there is no kernel).
+    :param kwargs: forwarded to the solver constructor.
+    """
+
+    def __init__(
+        self,
+        kernel=None,
+        fit_kernel=True,
+        mean=None,
+        fit_mean=None,
+        white_noise=None,
+        fit_white_noise=None,
+        solver=None,
+        **kwargs
+    ):
+        self._computed = False
+        self._alpha = None
+        self._y = None
+        self._fused = None
+
+        super(GP, self).__init__(
+            [
+                (
+                    "mean",
+                    ConstantModel(0.0) if mean is None else _parse_model(mean),
+                ),
+                (
+                    "white_noise",
+                    ConstantModel(np.log(TINY))
+                    if white_noise is None
+                    else _parse_model(white_noise),
+                ),
+                (
+                    "kernel",
+                    kernels.EmptyKernel() if kernel is None else kernel,
+                ),
+            ]
+        )
+
+        # Constants default to not-fitted (reference ``gp.py:99-116``).
+        try:
+            float(mean)
+        except TypeError:
+            pass
+        else:
+            fit_mean = False if fit_mean is None else fit_mean
+        try:
+            float(white_noise)
+        except TypeError:
+            pass
+        else:
+            fit_white_noise = (
+                False if fit_white_noise is None else fit_white_noise
+            )
+
+        if not fit_kernel:
+            self.models["kernel"].freeze_all_parameters()
+        if mean is None or (fit_mean is not None and not fit_mean):
+            self.models["mean"].freeze_all_parameters()
+        if white_noise is None or (
+            fit_white_noise is not None and not fit_white_noise
+        ):
+            self.models["white_noise"].freeze_all_parameters()
+
+        if solver is None:
+            trivial = (
+                kernel is None
+                or kernel.kernel_type == kernels.EmptyKernel.kernel_type
+            )
+            solver = TrivialSolver if trivial else BasicSolver
+        self.solver_type = solver
+        self.solver_kwargs = kwargs
+        self.solver = None
+
+    # ------------------------------------------------------------------
+    # Sub-model access
+    # ------------------------------------------------------------------
+
+    @property
+    def mean(self):
+        return self.models["mean"]
+
+    @property
+    def white_noise(self):
+        return self.models["white_noise"]
+
+    @property
+    def kernel(self):
+        return self.models["kernel"]
+
+    def _call_mean(self, x):
+        if x.ndim == 2 and x.shape[1] == 1:
+            mu = np.asarray(self.mean.get_value(x[:, 0])).flatten()
+        else:
+            mu = np.asarray(self.mean.get_value(x)).flatten()
+        if not np.all(np.isfinite(mu)):
+            raise ValueError("mean function returned NaN or Inf")
+        return mu
+
+    def _call_mean_gradient(self, x):
+        if x.ndim == 2 and x.shape[1] == 1:
+            mu = self.mean.get_gradient(x[:, 0])
+        else:
+            mu = self.mean.get_gradient(x)
+        if np.any(~np.isfinite(mu)):
+            raise ValueError("mean gradient returned NaN or Inf")
+        return mu
+
+    def _call_white_noise(self, x):
+        if x.ndim == 2 and x.shape[1] == 1:
+            return np.asarray(self.white_noise.get_value(x[:, 0])).flatten()
+        return np.asarray(self.white_noise.get_value(x)).flatten()
+
+    def _call_white_noise_gradient(self, x):
+        if x.ndim == 2 and x.shape[1] == 1:
+            return self.white_noise.get_gradient(x[:, 0])
+        return self.white_noise.get_gradient(x)
+
+    # ------------------------------------------------------------------
+    # Computation state
+    # ------------------------------------------------------------------
+
+    @property
+    def computed(self):
+        return (
+            self._computed
+            and self.solver is not None
+            and self.solver.computed
+            and not self.kernel.dirty
+        )
+
+    @computed.setter
+    def computed(self, v):
+        self._computed = v
+        if v:
+            self.kernel.dirty = False
+
+    def parse_samples(self, t):
+        """Coerce input coordinates to ``(n, ndim)`` float64."""
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        if t.ndim == 1:
+            t = t[:, None]
+        if t.ndim != 2 or (
+            t.shape[1] != self.kernel.input_ndim
+            and self.kernel.kernel_type != 13
+        ):
+            raise ValueError("Dimension mismatch")
+        return np.ascontiguousarray(t, dtype=np.float64)
+
+    def _check_dimensions(self, y, check_dim=True):
+        n, _ = self._x.shape
+        y = np.atleast_1d(y)
+        if check_dim and y.ndim > 1:
+            raise ValueError("The predicted dimension must be 1-D")
+        if len(y) != n:
+            raise ValueError("Dimension mismatch")
+        return y
+
+    def compute(self, x, yerr=0.0, nns=None, **kwargs):
+        """Assemble and factorize ``K(x, x) + diag(yerr^2 + exp(wn))``."""
+        self._x = self.parse_samples(x)
+        self._nns = nns
+        try:
+            self._yerr2 = float(yerr) ** 2 * np.ones(len(x))
+        except TypeError:
+            self._yerr2 = self._check_dimensions(yerr) ** 2
+        self._yerr2 = np.ascontiguousarray(self._yerr2, dtype=np.float64)
+
+        self.solver = self.solver_type(self.kernel, **self.solver_kwargs)
+        yerr_eff = np.sqrt(
+            self._yerr2 + np.exp(self._call_white_noise(self._x))
+        )
+        self.solver.compute(self._x, yerr_eff, nns=self._nns, **kwargs)
+
+        self._const = -0.5 * (
+            len(self._x) * np.log(2 * np.pi) + self.solver.log_determinant
+        )
+        self.computed = True
+        self._alpha = None
+
+    def recompute(self, quiet=False, **kwargs):
+        """Refactorize iff the parameters changed since :func:`compute`."""
+        if not self.computed:
+            if not (hasattr(self, "_x") and hasattr(self, "_yerr2")):
+                raise RuntimeError("You need to compute the model first")
+            try:
+                self.compute(
+                    self._x, np.sqrt(self._yerr2), nns=self._nns, **kwargs
+                )
+            except (ValueError, np.linalg.LinAlgError):
+                if quiet:
+                    return False
+                raise
+        return True
+
+    # ------------------------------------------------------------------
+    # Likelihood
+    # ------------------------------------------------------------------
+
+    def lnlikelihood(self, y, quiet=False):
+        warnings.warn(
+            "'lnlikelihood' is deprecated. Use 'log_likelihood'",
+            DeprecationWarning,
+        )
+        return self.log_likelihood(y, quiet=quiet)
+
+    def grad_lnlikelihood(self, y, quiet=False):
+        warnings.warn(
+            "'grad_lnlikelihood' is deprecated. Use 'grad_log_likelihood'",
+            DeprecationWarning,
+        )
+        return self.grad_log_likelihood(y, quiet=quiet)
+
+    def log_likelihood(self, y, quiet=False):
+        """Marginal log-likelihood of ``y`` under the GP (requires
+        :func:`compute`)."""
+        if not self.recompute(quiet=quiet):
+            return -np.inf
+        try:
+            mu = self._call_mean(self._x)
+        except ValueError:
+            if quiet:
+                return -np.inf
+            raise
+        r = np.ascontiguousarray(
+            self._check_dimensions(y) - mu, dtype=np.float64
+        )
+        ll = self._const - 0.5 * self.solver.dot_solve(r)
+        return ll if np.isfinite(ll) else -np.inf
+
+    def grad_log_likelihood(self, y, quiet=False):
+        """Gradient of :func:`log_likelihood` w.r.t. the active parameters.
+
+        Exact solvers: a single reverse-mode sweep through the fused
+        (assemble -> factor -> solve -> logdet) computation. Matrix-free
+        solvers (HODLR with ``compute_grad``, sparse): the solver's
+        Hutchinson-estimated gradient (reference Regime B).
+        """
+        if not self.recompute(quiet=quiet):
+            return np.zeros(len(self), dtype=np.float64)
+
+        if getattr(self.solver, "matrix_free", False):
+            return self._grad_log_likelihood_matrix_free(y, quiet=quiet)
+
+        if self._traceable:
+            try:
+                vag = self._fused_value_and_grad()
+                _, g = vag(
+                    jnp.asarray(self.parameter_vector),
+                    jnp.asarray(self._x),
+                    jnp.asarray(
+                        np.ascontiguousarray(
+                            self._check_dimensions(y), dtype=np.float64
+                        )
+                    ),
+                    jnp.asarray(self._yerr2),
+                )
+                g = np.asarray(g)[self.unfrozen_mask]
+                if not np.all(np.isfinite(g)):
+                    raise ValueError("non-finite gradient")
+                return g
+            except ValueError:
+                if quiet:
+                    return np.zeros(len(self), dtype=np.float64)
+                raise
+        return self._grad_log_likelihood_host(y, quiet=quiet)
+
+    @property
+    def _traceable(self):
+        return self.mean.traceable and self.white_noise.traceable
+
+    def _fused_loglike_full(self):
+        """Pure ``loglike(theta_full, x, y, yerr2)`` over the exact path."""
+        mean = self.mean
+        wn = self.white_noise
+        pair = self.kernel.pair_fn
+        n_m = mean.full_size
+        n_w = wn.full_size
+
+        def loglike(theta, x, y, yerr2):
+            mu = mean.value_fn(theta[:n_m], x)
+            wnv = wn.value_fn(theta[n_m : n_m + n_w], x)
+            K = assemble_dense(pair, theta[n_m + n_w :], x, x)
+            K = K + jnp.diag(yerr2 + jnp.exp(wnv))
+            L = jnp.linalg.cholesky(K)
+            return mahalanobis_loglike(L, y - mu)
+
+        return loglike
+
+    def _fused_value_and_grad(self):
+        if self._fused is None:
+            self._fused = {}
+        if "vag" not in self._fused:
+            self._fused["vag"] = jax.jit(
+                jax.value_and_grad(self._fused_loglike_full())
+            )
+        return self._fused["vag"]
+
+    def _grad_log_likelihood_host(self, y, quiet=False):
+        """Reference-style gradient for host-side (non-traceable) mean or
+        white-noise models (reference ``gp.py:440-504``)."""
+        try:
+            alpha = self._compute_alpha(y, False)
+        except ValueError:
+            if quiet:
+                return np.zeros(len(self), dtype=np.float64)
+            raise
+
+        K_inv = self.solver.get_inverse()
+        A = np.einsum("i,j", alpha, alpha) - K_inv
+
+        grad = np.empty(len(self))
+        n = 0
+        l = len(self.mean)
+        if l:
+            mu_g = self._call_mean_gradient(self._x)
+            grad[n : n + l] = np.dot(mu_g, alpha)
+        n += l
+
+        l = len(self.white_noise)
+        if l:
+            wn = self._call_white_noise(self._x)
+            wng = self._call_white_noise_gradient(self._x)
+            grad[n : n + l] = 0.5 * np.sum(
+                (np.exp(wn) * np.diag(A))[None, :] * wng, axis=1
+            )
+        n += l
+
+        l = len(self.kernel)
+        if l:
+            Kg = self.kernel.get_gradient(self._x)
+            grad[n : n + l] = 0.5 * np.einsum("ijk,ij", Kg, A)
+        return grad
+
+    def _grad_log_likelihood_matrix_free(self, y, quiet=False):
+        """Hutchinson trace-estimated gradient through a matrix-free solver
+        (reference ``gp.py:506-562``)."""
+        try:
+            alpha = self._compute_alpha(y, False)
+        except ValueError:
+            if quiet:
+                return np.zeros(len(self), dtype=np.float64)
+            raise
+        return self.solver.grad_log_likelihood(
+            self, self._x, alpha, self.unfrozen_mask
+        )
+
+    def nll(self, vector, y, quiet=True):
+        """Negative log-likelihood at ``vector`` (optimizer objective)."""
+        self.set_parameter_vector(vector)
+        if not np.isfinite(self.log_prior()):
+            return np.inf
+        return -self.log_likelihood(y, quiet=quiet)
+
+    def grad_nll(self, vector, y, quiet=True):
+        self.set_parameter_vector(vector)
+        if not np.isfinite(self.log_prior()):
+            return np.zeros(len(vector))
+        return -self.grad_log_likelihood(y, quiet=quiet)
+
+    # ------------------------------------------------------------------
+    # alpha / inverse applications
+    # ------------------------------------------------------------------
+
+    def _compute_alpha(self, y, cache):
+        if not cache:
+            r = np.ascontiguousarray(
+                self._check_dimensions(y) - self._call_mean(self._x),
+                dtype=np.float64,
+            )
+            return self.solver.apply_inverse(r, in_place=True).flatten()
+        if self._alpha is None or not np.array_equiv(y, self._y):
+            self._y = y
+            r = np.ascontiguousarray(
+                self._check_dimensions(y) - self._call_mean(self._x),
+                dtype=np.float64,
+            )
+            self._alpha = self.solver.apply_inverse(
+                r, in_place=True
+            ).flatten()
+        return self._alpha
+
+    def apply_inverse(self, y):
+        """``(K + diag)^{-1} (y - mu)`` for vectors or matrices of samples."""
+        self.recompute(quiet=False)
+        r = np.array(y, dtype=np.float64, order="F")
+        r = self._check_dimensions(r, check_dim=False)
+        m = [slice(None)] + [np.newaxis for _ in range(r.ndim - 1)]
+        r -= self._call_mean(self._x)[tuple(m)]
+        if r.ndim == 1:
+            return self.solver.apply_inverse(r, in_place=True).flatten()
+        return self.solver.apply_inverse(r, in_place=True)
+
+    # ------------------------------------------------------------------
+    # Prediction and sampling
+    # ------------------------------------------------------------------
+
+    def predict(
+        self,
+        y,
+        t,
+        return_cov=True,
+        return_var=False,
+        cache=True,
+        kernel=None,
+    ):
+        """Posterior predictive distribution at coordinates ``t``.
+
+        Returns ``mu``, ``(mu, cov)`` or ``(mu, var)`` depending on
+        ``return_cov`` / ``return_var``. A ``kernel`` override computes the
+        cross-covariance with a different kernel (mixture-of-GPs separation,
+        reference ``gp.py:624-628``).
+        """
+        self.recompute()
+        alpha = self._compute_alpha(y, cache)
+        xs = self.parse_samples(t)
+
+        if kernel is None:
+            kernel = self.kernel
+
+        Kxs = kernel.get_value(xs, self._x)
+        mu = np.dot(Kxs, alpha) + self._call_mean(xs)
+        if not (return_var or return_cov):
+            return mu
+
+        KinvKxs = self.solver.apply_inverse(Kxs.T)
+        if return_var:
+            var = np.array(kernel.get_value(xs, diag=True))
+            var -= np.sum(Kxs.T * KinvKxs, axis=0)
+            return mu, var
+
+        cov = np.array(kernel.get_value(xs))
+        cov -= np.dot(Kxs, KinvKxs)
+        return mu, cov
+
+    def sample_conditional(self, y, t, size=1):
+        """Samples from the predictive conditional distribution."""
+        mu, cov = self.predict(y, t)
+        return multivariate_gaussian_samples(cov, size, mean=mu)
+
+    def sample(self, t=None, size=1):
+        """Samples from the prior distribution (at ``t``, or at the
+        precomputed coordinates using the stored factorization)."""
+        if t is None:
+            self.recompute()
+            n, _ = self._x.shape
+            results = np.array(self.solver.apply_sqrt(np.random.randn(size, n)))
+            results += self._call_mean(self._x)
+            return results[0] if size == 1 else results
+
+        x = self.parse_samples(t)
+        cov = self.get_matrix(x)
+        cov[np.diag_indices_from(cov)] += TINY
+        return multivariate_gaussian_samples(
+            cov, size, mean=self._call_mean(x)
+        )
+
+    def get_matrix(self, x1, x2=None):
+        """The covariance matrix at coordinates ``x1`` (cross-covariance
+        against ``x2`` if given)."""
+        x1 = self.parse_samples(x1)
+        if x2 is None:
+            return self.kernel.get_value(x1)
+        x2 = self.parse_samples(x2)
+        return self.kernel.get_value(x1, x2)
+
+    # Modeling-protocol synonyms (reference ``gp.py:713-731``).
+    def get_value(self, *args, **kwargs):
+        return self.log_likelihood(*args, **kwargs)
+
+    def get_gradient(self, *args, **kwargs):
+        return self.grad_log_likelihood(*args, **kwargs)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_fused"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
