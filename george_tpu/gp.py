@@ -349,6 +349,61 @@ class GP(ModelSet):
 
         return loglike
 
+    def log_prob_fn(self, x, y, yerr=0.0, gate_prior=True):
+        """A pure jax-traceable ``f(theta_active) -> log-likelihood``.
+
+        The returned closure evaluates the fused (assemble -> factor ->
+        solve -> logdet) marginal likelihood at an *active* (unfrozen)
+        parameter vector, holding data constant. Uniform-prior bounds gate
+        the result to ``-inf`` outside the box (the reference's
+        ``log_prior`` pattern, ``modeling.py:331``); non-finite likelihoods
+        also map to ``-inf`` so samplers reject instead of propagating NaN.
+
+        This is the sampler-facing surface: ``vmap`` it over walkers/chains,
+        shard the batch axis over a mesh, and the per-step cost is one
+        batched factorization (replacing the reference's per-walker host
+        refactorization loop, ``docs/tutorials/hyper.rst:205-245``).
+        """
+        if not self._traceable:
+            raise ValueError(
+                "log_prob_fn requires traceable mean/white-noise models"
+            )
+        x = jnp.asarray(self.parse_samples(x))
+        y = jnp.asarray(
+            np.ascontiguousarray(np.atleast_1d(y), dtype=np.float64)
+        )
+        try:
+            yerr2 = float(yerr) ** 2 * jnp.ones(y.shape[0])
+        except TypeError:
+            yerr2 = jnp.asarray(np.asarray(yerr, dtype=np.float64)) ** 2
+
+        loglike = self._fused_loglike_full()
+        base = jnp.asarray(self.parameter_vector)
+        mask = self.unfrozen_mask
+        (active_idx,) = np.nonzero(mask)
+        active_idx = jnp.asarray(active_idx)
+
+        bounds = self.get_parameter_bounds()
+        lo = jnp.asarray(
+            [-np.inf if b[0] is None else float(b[0]) for b in bounds]
+        )
+        hi = jnp.asarray(
+            [np.inf if b[1] is None else float(b[1]) for b in bounds]
+        )
+
+        def log_prob(theta_active):
+            theta = base.at[active_idx].set(theta_active)
+            ll = loglike(theta, x, y, yerr2)
+            ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+            if gate_prior:
+                inside = jnp.all(
+                    (theta_active >= lo) & (theta_active <= hi)
+                )
+                ll = jnp.where(inside, ll, -jnp.inf)
+            return ll
+
+        return log_prob
+
     def _fused_value_and_grad(self):
         if self._fused is None:
             self._fused = {}
