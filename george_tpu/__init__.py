@@ -16,18 +16,15 @@ from . import kernels  # noqa: F401
 from . import metrics  # noqa: F401
 from . import modeling  # noqa: F401
 from . import solvers  # noqa: F401
+from . import sampling  # noqa: F401
 from .gp import GP, TINY  # noqa: F401
 from .metrics import Metric, Subspace  # noqa: F401
-from .solvers import BasicSolver, TrivialSolver  # noqa: F401
-
-try:  # incremental solvers
-    from .solvers import HODLRSolver  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from .solvers import SparseSolver  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+from .solvers import (  # noqa: F401
+    BasicSolver,
+    TrivialSolver,
+    HODLRSolver,
+    SparseSolver,
+)
 
 __all__ = [
     "__version__",
@@ -37,8 +34,11 @@ __all__ = [
     "Subspace",
     "BasicSolver",
     "TrivialSolver",
+    "HODLRSolver",
+    "SparseSolver",
     "kernels",
     "metrics",
     "modeling",
     "solvers",
+    "sampling",
 ]

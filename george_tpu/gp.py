@@ -239,6 +239,7 @@ class GP(ModelSet):
         )
         self.computed = True
         self._alpha = None
+        self._fused = None  # solver identity is baked into the fused fns
 
     def recompute(self, quiet=False, **kwargs):
         """Refactorize iff the parameters changed since :func:`compute`."""
@@ -332,18 +333,36 @@ class GP(ModelSet):
         return self.mean.traceable and self.white_noise.traceable
 
     def _fused_loglike_full(self):
-        """Pure ``loglike(theta_full, x, y, yerr2)`` over the exact path."""
+        """Pure ``loglike(theta_full, x, y, yerr2)``.
+
+        If the computed solver exposes a fused factorization program
+        (``loglike_fn``; e.g. the hierarchical solver), the likelihood and
+        its ``jax.grad`` flow through *that* factorization — so gradients at
+        scale cost one reverse sweep of the O(N log^2 N) path instead of any
+        dense O(N^3) work. Otherwise the dense closed form is used.
+        """
         mean = self.mean
         wn = self.white_noise
         pair = self.kernel.pair_fn
         n_m = mean.full_size
         n_w = wn.full_size
 
+        sfn = None
+        if (
+            self.solver is not None
+            and self.solver.computed
+            and hasattr(self.solver, "loglike_fn")
+        ):
+            sfn = self.solver.loglike_fn()
+
         def loglike(theta, x, y, yerr2):
             mu = mean.value_fn(theta[:n_m], x)
             wnv = wn.value_fn(theta[n_m : n_m + n_w], x)
+            diag = yerr2 + jnp.exp(wnv)
+            if sfn is not None:
+                return sfn(theta[n_m + n_w :], diag, y - mu)
             K = assemble_dense(pair, theta[n_m + n_w :], x, x)
-            K = K + jnp.diag(yerr2 + jnp.exp(wnv))
+            K = K + jnp.diag(diag)
             L = jnp.linalg.cholesky(K)
             return mahalanobis_loglike(L, y - mu)
 

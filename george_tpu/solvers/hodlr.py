@@ -1,0 +1,548 @@
+# -*- coding: utf-8 -*-
+"""TPU-native hierarchical (HODLR-class) solver.
+
+Re-designs the reference's recursive C++ HODLR engine (``hodlr.h:20-989``,
+``_hodlr.cpp``) as a *level-by-level, fully batched, static-shape* JAX
+computation:
+
+* The recursive binary tree (``hodlr.h:38-102``) becomes ``L = log2(n/m)``
+  levels processed coarsest-to-finest as stacked arrays; every per-node
+  operation is a batched matmul/Cholesky over all nodes of a level at once.
+* Adaptive-rank ACA with random pivoting (``hodlr.h:303-680``) becomes a
+  **fixed-rank skeleton (CUR) compression** with seeded stratified pivots
+  and a ridge-regularized interpolation solve: static shapes, matmul-heavy,
+  deterministic — the TPU answer to data-dependent ranks (SURVEY.md §7).
+* The factorization identity is the classic SMW cascade the reference
+  implements node-by-node (``hodlr.h:111-165, 682-711``):
+
+      K = D · F_L · F_{L-1} ... F_1,
+
+  where ``D`` is the block-diagonal of leaf boxes (batched Cholesky) and
+  ``F_l = I + W_l Z_l^T`` is block-diagonal over the 2^{l-1} sibling pairs
+  of level ``l``, with ``Z_l`` holding the raw low-rank factors and ``W_l``
+  the same factors with all *finer* factors' inverses applied (the
+  reference's ancestor-update sweep, ``hodlr.h:153-164``). Each pair's
+  2c x 2c SMW core ``I + Z^T W`` is formed and inverted batched; the log
+  determinant accumulates batched leaf Cholesky diagonals and core
+  ``slogdet``s (``hodlr.h:122-151``).
+* Hyperparameter gradients do not need the reference's per-parameter
+  gradient trees (``_hodlr.cpp:171-191``) or Hutchinson estimators
+  (``gp.py:506-562``): the whole factorization is differentiable JAX code,
+  so ``jax.grad`` of :func:`HODLRSolver.loglike_fn` gives the exact
+  gradient of the compressed likelihood in one reverse sweep. A Hutchinson
+  estimator is still available via :func:`apply_forward` jvp matvecs for
+  parity experiments.
+
+Points are pre-sorted host-side with a Morton/argsort ordering
+(``neighbors.morton_sort_samples``; reference ``utils.py:36-56``) so
+off-diagonal blocks are numerically low-rank; only the permutation and the
+static pivot index sets cross to the device.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..neighbors import morton_sort_samples
+
+__all__ = ["HODLRSolver", "build_structure", "hodlr_factor", "hodlr_solve",
+           "hodlr_matvec"]
+
+
+# ---------------------------------------------------------------------------
+# Static structure (host-side)
+# ---------------------------------------------------------------------------
+
+class HODLRStructure(object):
+    """Static shape/index data for a padded binary HODLR partition.
+
+    ``n`` real points are padded to ``n_pad = m * 2^L`` (leaf size ``m``,
+    ``L`` levels). Level ``l`` (1-based, 1 = root split) has ``2^(l-1)``
+    sibling pairs of block size ``s_l = n_pad / 2^l``; each pair carries
+    ``c_l = min(rank, s_l)`` skeleton pivots per side.
+    """
+
+    def __init__(self, n, min_size=64, rank=32, seed=42, x_sorted=None):
+        self.n = int(n)
+        self.rank = int(rank)
+        self.seed = int(seed)
+        L = 0
+        while (self.n + (1 << (L + 1)) - 1) // (1 << (L + 1)) >= min_size:
+            L += 1
+        self.L = L
+        self.m = (self.n + (1 << L) - 1) >> L
+        self.n_pad = self.m << L
+        self.levels = []
+        rng = np.random.default_rng(seed)
+        if x_sorted is not None:
+            xpad = np.concatenate(
+                [
+                    x_sorted,
+                    np.repeat(x_sorted[-1:], self.n_pad - self.n, axis=0),
+                ],
+                axis=0,
+            )
+        else:
+            xpad = np.arange(self.n_pad, dtype=np.float64)[:, None]
+        vpad = np.zeros(self.n_pad, dtype=bool)
+        vpad[: self.n] = True
+        for lev in range(1, L + 1):
+            s = self.n_pad >> lev
+            p = 1 << (lev - 1)
+            c = min(rank, s)
+            blocks = xpad.reshape(p, 2, s, -1)
+            vmask = vpad.reshape(p, 2, s)
+            row_piv = _fps_pivots(blocks[:, 0], vmask[:, 0], c, rng)
+            col_piv = _fps_pivots(blocks[:, 1], vmask[:, 1], c, rng)
+            # convert block-local positions to absolute padded-row indices
+            base = (np.arange(p, dtype=np.int64) * 2 * s)[:, None]
+            self.levels.append(
+                {"s": s, "p": p, "c": c,
+                 "row_piv": base + row_piv,
+                 "col_piv": base + s + col_piv}
+            )
+
+
+def _fps_pivots(xb, vmask, c, rng):
+    """Seeded farthest-point-sampling pivots, batched over all blocks of a
+    level. ``xb``: ``(p, s, d)`` block coordinates; returns block-local
+    indices ``(p, c)``. A well-spread skeleton is the static-shape TPU
+    answer to the reference's adaptive ACA pivot search
+    (``hodlr.h:483-519``) and works in any dimension."""
+    p, s, _ = xb.shape
+    valid = np.where(vmask, 0.0, -np.inf)              # (p, s)
+    nvalid = vmask.sum(axis=1)
+    start = (rng.uniform(size=p) * np.maximum(nvalid, 1)).astype(np.int64)
+    start = np.minimum(start, np.maximum(nvalid - 1, 0))
+    piv = np.empty((p, c), dtype=np.int64)
+    piv[:, 0] = start
+    last = xb[np.arange(p), start]                     # (p, d)
+    d2 = ((xb - last[:, None, :]) ** 2).sum(-1) + valid
+    for t in range(1, c):
+        nxt = d2.argmax(axis=1)
+        piv[:, t] = nxt
+        last = xb[np.arange(p), nxt]
+        d2 = np.minimum(d2, ((xb - last[:, None, :]) ** 2).sum(-1) + valid)
+    return piv
+
+
+def build_structure(n, min_size=64, rank=32, seed=42, x_sorted=None):
+    return HODLRStructure(
+        n, min_size=min_size, rank=rank, seed=seed, x_sorted=x_sorted
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional core (pure, jittable, differentiable)
+# ---------------------------------------------------------------------------
+
+def _block_matrix(pair_fn, theta, xa, va, xb, vb):
+    """Masked kernel block ``K[i, j] = k(xa[i], xb[j])`` (0 where either
+    point is padding)."""
+    K = jax.vmap(
+        lambda a: jax.vmap(lambda b: pair_fn(theta, a, b))(xb)
+    )(xa)
+    return jnp.where(va[:, None] & vb[None, :], K, 0.0)
+
+
+def _cho_solve_lower(L, y):
+    z = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+    return jax.scipy.linalg.solve_triangular(L, z, lower=True, trans=1)
+
+
+def _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype):
+    """Skeleton (CUR) factors for one level's sibling couplings.
+
+    Returns ``(C, Qt)`` with ``A12 ~= C @ Qt`` per pair: ``C`` ``(p, s, c)``
+    the sampled columns ``K[left, J]`` and ``Qt`` ``(p, c, s)`` the
+    ridge-regularized interpolation ``(M^T M + lam I)^{-1} M^T K[I, right]``
+    — a differentiable, static-shape stand-in for adaptive ACA
+    (``hodlr.h:303-680``)."""
+    s, p, c = lev["s"], lev["p"], lev["c"]
+    rp = jnp.asarray(lev["row_piv"])
+    cp = jnp.asarray(lev["col_piv"])
+    xl = xpad.reshape(p, 2, s, -1)[:, 0]
+    xr = xpad.reshape(p, 2, s, -1)[:, 1]
+    vl = valid.reshape(p, 2, s)[:, 0]
+    vr = valid.reshape(p, 2, s)[:, 1]
+    xI, vI = xpad[rp], valid[rp]
+    xJ, vJ = xpad[cp], valid[cp]
+
+    blk = jax.vmap(
+        lambda xa, va, xb_, vb_: _block_matrix(pair_fn, theta, xa, va,
+                                               xb_, vb_)
+    )
+    C = blk(xl, vl, xJ, vJ)                                 # (p, s, c)
+    R = blk(xI, vI, xr, vr)                                 # (p, c, s)
+    M = blk(xI, vI, xJ, vJ)                                 # (p, c, c)
+
+    eps = 100.0 * jnp.finfo(dtype).eps
+    G = jnp.einsum("pki,pkj->pij", M, M)
+    lam = eps * (
+        jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
+        + jnp.finfo(dtype).tiny
+    )
+    G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
+    Qt = jnp.linalg.solve(G, jnp.einsum("pki,pks->pis", M, R))
+    return C, Qt
+
+
+def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
+    """Factorize ``K_compressed + diag`` level-by-level.
+
+    Returns ``(factors, logdet)`` where ``factors`` is a pytree:
+    ``{"Lleaf": (B, m, m), "levels": [(Z, T, core_inv), ...]}`` with ``Z``
+    the raw and ``T`` the finer-inverse-applied low-rank factors in full-row
+    layout ``(n_pad, c_l)``, and ``core_inv`` the batched inverted SMW
+    cores ``(p_l, 2c_l, 2c_l)``.
+    """
+    n_pad, m, L = struct.n_pad, struct.m, struct.L
+    B = n_pad // m
+    dtype = diag_pad.dtype
+
+    # --- leaf boxes: batched assemble + Cholesky --------------------------
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+    Kb = jax.vmap(
+        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
+    )(xb, vb)
+    Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
+    Lleaf = jnp.linalg.cholesky(Kb)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
+    )
+
+    def leaf_solve(X):
+        Y = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1))
+        return Y.reshape(X.shape)
+
+    # --- raw skeleton factors per level ----------------------------------
+    Zs = []
+    for lev in struct.levels:
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        C, Qt = _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype)
+        Q = jnp.swapaxes(Qt, -1, -2)                        # (p, s, c)
+        Z = jnp.stack([C, Q], axis=1).reshape(n_pad, c)
+        Zs.append(Z)
+
+    # --- upward sweep: factor each level, update coarser left factors -----
+    T = [leaf_solve(Z) for Z in Zs]
+    levels_out = [None] * L
+    for li in range(L - 1, -1, -1):   # li = level index (0 = root split)
+        lev = struct.levels[li]
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        Zb = Zs[li].reshape(p, 2, s, c)
+        Tb = T[li].reshape(p, 2, s, c)
+        P, Q = Zb[:, 0], Zb[:, 1]
+        Pt, Qt_ = Tb[:, 0], Tb[:, 1]
+        upper = jnp.einsum("psc,psd->pcd", Q, Qt_)          # Q^T Qtilde
+        lower = jnp.einsum("psc,psd->pcd", P, Pt)           # P^T Ptilde
+        eye = jnp.eye(c, dtype=dtype)
+        zero = jnp.zeros((p, c, c), dtype=dtype)
+        core = jnp.concatenate(
+            [
+                jnp.concatenate([eye + zero, upper], axis=-1),
+                jnp.concatenate([lower, eye + zero], axis=-1),
+            ],
+            axis=-2,
+        )                                                    # (p, 2c, 2c)
+        core_inv = jnp.linalg.inv(core)
+        _, ld = jnp.linalg.slogdet(core)
+        logdet = logdet + jnp.sum(ld)
+        levels_out[li] = (Zs[li], T[li], core_inv)
+
+        def finv(X, Zl=Zs[li], Tl=T[li], ci=core_inv, p=p, s=s, c=c):
+            return _factor_apply_inv(Zl, Tl, ci, p, s, c, X)
+
+        for mi in range(li):
+            T[mi] = finv(T[mi])
+
+    factors = {"Lleaf": Lleaf, "levels": levels_out}
+    return factors, logdet
+
+
+def _factor_apply_inv(Z, T, core_inv, p, s, c, X):
+    """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to ``X``
+    ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``)."""
+    k = X.shape[-1]
+    Xb = X.reshape(p, 2, s, k)
+    Zb = Z.reshape(p, 2, s, c)
+    Tb = T.reshape(p, 2, s, c)
+    top = jnp.einsum("psc,psk->pck", Zb[:, 1], Xb[:, 1])    # Q^T X_right
+    bot = jnp.einsum("psc,psk->pck", Zb[:, 0], Xb[:, 0])    # P^T X_left
+    y = jnp.einsum(
+        "pcd,pdk->pck", core_inv, jnp.concatenate([top, bot], axis=1)
+    )
+    dx_l = jnp.einsum("psc,pck->psk", Tb[:, 0], y[:, :c])
+    dx_r = jnp.einsum("psc,pck->psk", Tb[:, 1], y[:, c:])
+    out = Xb - jnp.stack([dx_l, dx_r], axis=1)
+    return out.reshape(X.shape)
+
+
+def hodlr_solve(factors, struct, X):
+    """``K^{-1} X`` through the factor cascade: ``D^{-1}`` then
+    ``F_L^{-1} ... F_1^{-1}`` (finest first)."""
+    Lleaf = factors["Lleaf"]
+    B, m, _ = Lleaf.shape
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    X = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1)).reshape(
+        X.shape
+    )
+    for li in range(struct.L - 1, -1, -1):
+        lev = struct.levels[li]
+        Z, T, core_inv = factors["levels"][li]
+        X = _factor_apply_inv(
+            Z, T, core_inv, lev["p"], lev["s"], lev["c"], X
+        )
+    return X[:, 0] if squeeze else X
+
+
+def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
+                 include_diag=True):
+    """Structured matvec with the *compressed* matrix ``K_bar (+ diag)``
+    (reference ``apply_forward``, ``hodlr.h:242-259``): batched leaf-block
+    matmuls plus per-level low-rank couplings — O(N r log N)."""
+    n_pad, m = struct.n_pad, struct.m
+    B = n_pad // m
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    k = X.shape[-1]
+
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+    Kb = jax.vmap(
+        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
+    )(xb, vb)
+    if include_diag:
+        Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
+    Y = jnp.einsum("bij,bjk->bik", Kb, X.reshape(B, m, k)).reshape(X.shape)
+
+    for lev in struct.levels:
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        C, Qt = _level_lowrank(
+            pair_fn, theta, xpad, valid, lev, diag_pad.dtype
+        )
+        Xb = X.reshape(p, 2, s, k)
+        # left rows += P (Q^T x_right); right rows += Q (P^T x_left)
+        qx = jnp.einsum("pcs,psk->pck", Qt, Xb[:, 1])
+        px = jnp.einsum("psc,psk->pck", C, Xb[:, 0])
+        add_l = jnp.einsum("psc,pck->psk", C, qx)
+        add_r = jnp.einsum("pcs,pck->psk", Qt, px)
+        Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
+    return Y[:, 0] if squeeze else Y
+
+
+# ---------------------------------------------------------------------------
+# Solver class (george-compatible protocol)
+# ---------------------------------------------------------------------------
+
+class HODLRSolver(object):
+    """Hierarchical solver with the george HODLR surface
+    (``solvers/hodlr.py:13-104`` / ``_hodlr.cpp:301-427``).
+
+    :param kernel: the covariance kernel.
+    :param min_size: leaf box size (reference default 100; here 64, tuned
+        to TPU tile granularity).
+    :param rank: skeleton rank per off-diagonal block; if ``None``, derived
+        from ``tol`` (the reference's accuracy knob).
+    :param tol: target relative accuracy; mapped to a static rank.
+    :param seed: pivot RNG seed (reference ``seed=42``).
+    :param sort: Morton-sort inputs host-side for compressibility.
+    """
+
+    matrix_free = False
+
+    def __init__(self, kernel, min_size=64, rank=None, tol=0.1,
+                 tol_abs=None, seed=42, sort=True, verbose=False,
+                 debug=False, compute_grad=False, sym=False, knn=None,
+                 **kwargs):
+        self.kernel = kernel
+        self.min_size = int(min_size)
+        if rank is None:
+            if tol >= 1e-2:
+                rank = 16
+            elif tol >= 1e-4:
+                rank = 24
+            elif tol >= 1e-6:
+                rank = 32
+            elif tol >= 1e-8:
+                rank = 48
+            else:
+                rank = 64
+        self.rank = int(rank)
+        self.seed = int(seed)
+        self.sort = bool(sort)
+        self.computed = False
+        self.log_determinant = None
+        self._struct = None
+        self._factors = None
+        self._perm = None
+        self._x = None
+        self._xpad = None
+        self._valid = None
+        self._diag_pad = None
+
+    # -- setup -------------------------------------------------------------
+
+    def compute(self, x, yerr=0.0, nns=None, **kwargs):
+        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
+        n = len(x)
+        yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
+        if yerr2.size == 1:
+            yerr2 = yerr2 * np.ones(n)
+
+        self._perm = (
+            morton_sort_samples(x) if self.sort
+            else np.arange(n, dtype=np.int64)
+        )
+        xs = x[self._perm]
+        self._struct = build_structure(
+            n, min_size=self.min_size, rank=self.rank, seed=self.seed,
+            x_sorted=xs,
+        )
+        st = self._struct
+        d2 = yerr2[self._perm]
+
+        xpad = np.concatenate(
+            [xs, np.repeat(xs[-1:], st.n_pad - n, axis=0)], axis=0
+        )
+        valid = np.zeros(st.n_pad, dtype=bool)
+        valid[:n] = True
+        diag_pad = np.ones(st.n_pad)
+        diag_pad[:n] = d2
+
+        self._x = x
+        self._xpad = jnp.asarray(xpad)
+        self._valid = jnp.asarray(valid)
+        self._diag_pad = jnp.asarray(diag_pad)
+
+        pair = self.kernel.pair_fn
+        theta = jnp.asarray(self.kernel.parameter_vector)
+        self._factor_fn = jax.jit(
+            lambda th, xp, v, dp: hodlr_factor(pair, th, xp, v, dp, st)
+        )
+        self._solve_fn = jax.jit(
+            lambda f, yy: hodlr_solve(f, st, yy)
+        )
+        factors, logdet = self._factor_fn(
+            theta, self._xpad, self._valid, self._diag_pad
+        )
+        if not bool(jnp.isfinite(logdet)):
+            raise np.linalg.LinAlgError(
+                "HODLR factorization failed (non-finite log-determinant)"
+            )
+        self._factors = factors
+        self.log_determinant = float(logdet)
+        self.computed = True
+
+    # -- pure fused surface -------------------------------------------------
+
+    def loglike_fn(self):
+        """Pure ``f(theta_kernel, diag, r) -> log-likelihood`` through the
+        hierarchical factorization (differentiable end-to-end)."""
+        st = self._struct
+        pair = self.kernel.pair_fn
+        perm = jnp.asarray(self._perm)
+        xpad, valid = self._xpad, self._valid
+        n = st.n
+
+        def loglike(theta_k, diag, r):
+            diag_pad = jnp.concatenate(
+                [diag[perm], jnp.ones(st.n_pad - n, dtype=diag.dtype)]
+            )
+            r_pad = jnp.concatenate(
+                [r[perm], jnp.zeros(st.n_pad - n, dtype=r.dtype)]
+            )
+            factors, logdet = hodlr_factor(
+                pair, theta_k, xpad, valid, diag_pad, st
+            )
+            z = hodlr_solve(factors, st, r_pad)
+            quad = jnp.dot(r_pad, z)
+            return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+        return loglike
+
+    # -- george protocol ----------------------------------------------------
+
+    def _pad_rhs(self, y):
+        st = self._struct
+        y = np.asarray(y, dtype=np.float64)
+        squeeze = y.ndim == 1
+        Y = y[:, None] if squeeze else y
+        Ys = Y[self._perm]
+        pad = np.zeros((st.n_pad - st.n, Y.shape[1]))
+        return jnp.asarray(np.concatenate([Ys, pad], axis=0)), squeeze
+
+    def _unpad(self, Z, squeeze):
+        st = self._struct
+        Z = np.asarray(Z)[: st.n]
+        out = np.empty_like(Z)
+        out[self._perm] = Z
+        return out[:, 0] if squeeze else out
+
+    def apply_inverse(self, y, in_place=False):
+        Y, squeeze = self._pad_rhs(y)
+        Z = self._solve_fn(self._factors, Y)
+        return self._unpad(Z, squeeze)
+
+    def dot_solve(self, y):
+        Y, _ = self._pad_rhs(y)
+        Z = self._solve_fn(self._factors, Y)
+        return float(jnp.sum(Y * Z))
+
+    def apply_forward(self, y, i=0):
+        """Compressed matvec ``K_bar y`` (``i == 0``) or ``dK_bar/dtheta_{i-1} y``
+        via a jvp through the compressed matvec (replacing the reference's
+        per-parameter gradient trees, ``_hodlr.cpp:171-191``)."""
+        Y, squeeze = self._pad_rhs(y)
+        theta = jnp.asarray(self.kernel.parameter_vector)
+        if self.__dict__.get("_mv_fn") is None:
+            pair = self.kernel.pair_fn
+            st = self._struct
+
+            def mv(th, YY):
+                return hodlr_matvec(
+                    pair, th, self._xpad, self._valid, self._diag_pad,
+                    st, YY,
+                )
+
+            self._mv_fn = jax.jit(mv)
+            self._mv_jvp_fn = jax.jit(
+                lambda th, tan, YY: jax.jvp(
+                    lambda t: mv(t, YY), (th,), (tan,)
+                )[1]
+            )
+        if i == 0:
+            Z = self._mv_fn(theta, Y)
+        else:
+            tangent = jnp.zeros_like(theta).at[i - 1].set(1.0)
+            Z = self._mv_jvp_fn(theta, tangent, Y)
+        return self._unpad(Z, squeeze)
+
+    def get_inverse(self):
+        return self.apply_inverse(np.eye(self._struct.n))
+
+    def apply_sqrt(self, r):
+        raise NotImplementedError(
+            "apply_sqrt requires the symmetric factorization; "
+            "use sample_prior via the exact solver or the sym variant"
+        )
+
+    # Pickling: drop device state; recompute on demand (the reference HODLR
+    # does the same, ``hodlr.py:96-104``).
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for k in ("_factors", "_xpad", "_valid", "_diag_pad",
+                  "_factor_fn", "_solve_fn", "_mv_fn", "_mv_jvp_fn"):
+            state.pop(k, None)
+        state["computed"] = False
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

@@ -1,0 +1,347 @@
+# -*- coding: utf-8 -*-
+"""Compact-support sparse solver (matrix-free, iterative).
+
+TPU-native replacement for the reference's two out-of-tree MPI sparse
+backends (``basic.py``): SuperLU_DIST distributed sparse-direct
+(``model_sparse=1``, ``basic.py:121-177,258``) and ButterflyPACK compressed
+factorization (``model_bpack=1``, ``basic.py:80-118``). Instead of an
+unstructured CSR direct factorization — a poor fit for the MXU — the sparse
+structure lives in a static **ELL (padded-neighbor) layout** built from the
+host-side radius query (``neighbors.radius_neighbors_csr``; reference
+BallTree, ``kernels.py:131-144``), and everything on device is dense batched
+gathers and contractions:
+
+* matvec ``(K y)[i] = sum_j k(x_i, x_nbr[i,j]) y[nbr[i,j]]`` with kernel
+  entries evaluated on the fly (matrix-free) or from a precomputed
+  ``(n, k_max)`` value table;
+* solves by Jacobi-preconditioned conjugate gradients (``lax.while_loop``);
+* ``log_determinant`` by stochastic Lanczos quadrature (SLQ) — the same
+  stochastic trace philosophy as the reference's Hutchinson gradients
+  (``gp.py:506-562``), applied to logdet;
+* gradients by the matrix-free identity
+  ``d ll / d theta = 1/2 a^T (dK/dtheta) a - 1/2 tr(K^{-1} dK/dtheta)``
+  with ``dK/dtheta`` matvecs as ``jax.jvp`` of the ELL matvec and the trace
+  Hutchinson-estimated with CG solves (reference Regime B, ``gp.py:524-547``).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..neighbors import radius_neighbors_csr
+
+__all__ = ["SparseSolver", "ell_from_csr", "ell_matvec", "cg_solve",
+           "slq_logdet"]
+
+
+def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
+    """Convert CSR neighbor lists to a padded ELL table.
+
+    Returns ``(nbr, mask)``: ``nbr`` ``(n, k_max)`` int32 neighbor indices
+    (padded entries point at row 0), ``mask`` ``(n, k_max)`` bool.
+    """
+    n = len(row_ptr) - 1
+    counts = np.diff(row_ptr)
+    k_max = int(counts.max()) if n else 0
+    k_max = max(pad_multiple, -(-k_max // pad_multiple) * pad_multiple)
+    nbr = np.zeros((n, k_max), dtype=np.int32)
+    mask = np.zeros((n, k_max), dtype=bool)
+    for i in range(n):
+        c = counts[i]
+        nbr[i, :c] = nbr_idx[row_ptr[i]:row_ptr[i + 1]]
+        mask[i, :c] = True
+    return nbr, mask
+
+
+def ell_matvec(pair_fn, theta, x, nbr, mask, diag, y):
+    """``(K + diag) y`` with on-the-fly masked kernel entries.
+
+    ``y`` may be ``(n,)`` or ``(n, k)`` — the neighbor gather and the
+    per-row contraction are dense ops on static shapes (MXU/VPU friendly).
+    """
+    xn = x[nbr]                                     # (n, k_max, d)
+    vals = jax.vmap(
+        lambda xi, xns: jax.vmap(lambda xj: pair_fn(theta, xi, xj))(xns)
+    )(x, xn)                                        # (n, k_max)
+    vals = jnp.where(mask, vals, 0.0)
+    squeeze = y.ndim == 1
+    Y = y[:, None] if squeeze else y
+    out = jnp.einsum("ik,ikr->ir", vals, Y[nbr]) + diag[:, None] * Y
+    return out[:, 0] if squeeze else out
+
+
+def cg_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
+    """Jacobi-preconditioned CG for SPD ``A x = b`` (vector or multi-RHS)."""
+    squeeze = b.ndim == 1
+    B = b[:, None] if squeeze else b
+    Minv = 1.0 / precond_diag
+
+    def mv(X):
+        return matvec(X)
+
+    X = jnp.zeros_like(B)
+    R = B - mv(X)
+    Z = Minv[:, None] * R
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+    b2 = jnp.maximum(jnp.sum(B * B, axis=0), jnp.finfo(B.dtype).tiny)
+
+    def cond(state):
+        X, R, P, rz, it = state
+        return jnp.logical_and(
+            it < maxiter,
+            jnp.any(jnp.sum(R * R, axis=0) / b2 > tol * tol),
+        )
+
+    def body(state):
+        X, R, P, rz, it = state
+        AP = mv(P)
+        denom = jnp.sum(P * AP, axis=0)
+        alpha = rz / jnp.where(denom > 0, denom, 1.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = Minv[:, None] * R
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, it + 1
+
+    X, R, _, _, iters = jax.lax.while_loop(
+        cond, body, (X, R, P, rz, jnp.zeros((), jnp.int32))
+    )
+    return (X[:, 0] if squeeze else X), iters
+
+
+def slq_logdet(matvec, n, dtype, key, num_probes=16, num_steps=30):
+    """Stochastic Lanczos quadrature estimate of ``log det A`` for SPD A.
+
+    Rademacher probes, ``num_steps`` Lanczos iterations each (batched via
+    ``vmap``), Gauss quadrature from the tridiagonal eigendecomposition.
+    """
+    probes = jax.random.rademacher(
+        key, (num_probes, n), dtype=dtype
+    )
+
+    def lanczos(v0):
+        v0 = v0 / jnp.linalg.norm(v0)
+
+        def step(carry, _):
+            v_prev, v, beta_prev = carry
+            w = matvec(v) - beta_prev * v_prev
+            alpha = jnp.dot(w, v)
+            w = w - alpha * v
+            # one round of full reorthogonalization-lite against v_prev
+            w = w - jnp.dot(w, v_prev) * v_prev
+            beta = jnp.linalg.norm(w)
+            v_next = w / jnp.where(beta > 0, beta, 1.0)
+            return (v, v_next, beta), (alpha, beta)
+
+        (_, _, _), (alphas, betas) = jax.lax.scan(
+            step, (jnp.zeros_like(v0), v0, jnp.zeros((), dtype)), None,
+            length=num_steps,
+        )
+        T = (
+            jnp.diag(alphas)
+            + jnp.diag(betas[:-1], 1)
+            + jnp.diag(betas[:-1], -1)
+        )
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, jnp.finfo(dtype).tiny)
+        tau2 = evecs[0, :] ** 2
+        return jnp.sum(tau2 * jnp.log(evals))
+
+    estimates = jax.vmap(lanczos)(probes)
+    return n * jnp.mean(estimates)
+
+
+class SparseSolver(object):
+    """Compact-support sparse solver with the george solver protocol.
+
+    Requires a kernel with a finite :func:`get_cutoff` (e.g.
+    :class:`WendlandC2Kernel`) or an explicit ``radius``.
+
+    :param kernel: covariance kernel.
+    :param radius: sparsity radius override (default: kernel cutoff).
+    :param cg_tol: relative CG tolerance.
+    :param maxiter: CG iteration cap.
+    :param num_probes: SLQ probe count for logdet / Hutchinson gradients
+        (the reference uses ``nvec = 10``, ``gp.py:448``).
+    :param num_steps: SLQ Lanczos steps.
+    :param seed: probe RNG seed.
+    """
+
+    matrix_free = True
+
+    def __init__(self, kernel, radius=None, cg_tol=1e-10, maxiter=1000,
+                 num_probes=16, num_steps=30, seed=42, **kwargs):
+        self.kernel = kernel
+        self.radius = radius
+        self.cg_tol = float(cg_tol)
+        self.maxiter = int(maxiter)
+        self.num_probes = int(num_probes)
+        self.num_steps = int(num_steps)
+        self.seed = int(seed)
+        self.computed = False
+        self.log_determinant = None
+        self._x = None
+        self._nbr = None
+        self._mask = None
+        self._diag = None
+
+    def compute(self, x, yerr=0.0, nns=None, **kwargs):
+        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
+        n = len(x)
+        yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
+        if yerr2.size == 1:
+            yerr2 = yerr2 * np.ones(n)
+
+        radius = self.radius
+        if radius is None:
+            radius = self.kernel.get_cutoff()
+        if nns is not None and not np.isscalar(nns):
+            nbr_idx, row_ptr = nns
+        else:
+            nbr_idx, row_ptr = radius_neighbors_csr(x, float(radius))
+        self._nbr, self._mask = map(
+            jnp.asarray, ell_from_csr(nbr_idx, row_ptr)
+        )
+        self._x = jnp.asarray(x)
+        self._diag = jnp.asarray(yerr2)
+        self.nnz = int(row_ptr[-1])
+
+        pair = self.kernel.pair_fn
+        nbr, mask, diag = self._nbr, self._mask, self._diag
+
+        def mv(th, Y):
+            return ell_matvec(pair, th, self._x, nbr, mask, diag, Y)
+
+        self._mv = jax.jit(mv)
+        theta = jnp.asarray(self.kernel.parameter_vector)
+        self._theta = theta
+
+        # Jacobi preconditioner diagonal: k(x_i, x_i) + yerr2.
+        kdiag = jax.vmap(lambda xi: pair(theta, xi, xi))(self._x)
+        self._pdiag = kdiag + diag
+
+        def solve(th, B):
+            return cg_solve(
+                lambda Y: ell_matvec(pair, th, self._x, nbr, mask, diag, Y),
+                B, self._pdiag, tol=self.cg_tol, maxiter=self.maxiter,
+            )
+
+        self._solve = jax.jit(solve)
+
+        def logdet_fn(th, key):
+            return slq_logdet(
+                lambda v: ell_matvec(pair, th, self._x, nbr, mask, diag, v),
+                n, self._x.dtype, key,
+                num_probes=self.num_probes, num_steps=self.num_steps,
+            )
+
+        ld = jax.jit(logdet_fn)(theta, jax.random.PRNGKey(self.seed))
+        if not bool(jnp.isfinite(ld)):
+            raise np.linalg.LinAlgError("SLQ log-determinant diverged")
+        self.log_determinant = float(ld)
+        self.computed = True
+
+    # -- protocol ----------------------------------------------------------
+
+    def apply_inverse(self, y, in_place=False):
+        y = jnp.asarray(np.asarray(y, dtype=np.float64))
+        z, _ = self._solve(self._theta, y)
+        return np.asarray(z)
+
+    def dot_solve(self, y):
+        y = jnp.asarray(np.asarray(y, dtype=np.float64))
+        z, _ = self._solve(self._theta, y)
+        return float(jnp.dot(y, z))
+
+    def apply_forward(self, y, i=0):
+        y = jnp.asarray(np.asarray(y, dtype=np.float64))
+        if i == 0:
+            return np.asarray(self._mv(self._theta, y))
+        tangent = jnp.zeros_like(self._theta).at[i - 1].set(1.0)
+        _, Z = jax.jvp(
+            lambda th: self._mv(th, y), (self._theta,), (tangent,)
+        )
+        return np.asarray(Z)
+
+    def get_inverse(self):
+        n = self._x.shape[0]
+        return self.apply_inverse(np.eye(n))
+
+    def apply_sqrt(self, r):
+        raise NotImplementedError(
+            "apply_sqrt is not defined for the iterative sparse solver"
+        )
+
+    # -- matrix-free gradient (reference Regime B, gp.py:506-562) ----------
+
+    def grad_log_likelihood(self, gp, x, alpha, unfrozen_mask):
+        """Gradient of the GP marginal likelihood using Hutchinson traces.
+
+        Returns the gradient over the *active* GP parameter vector (mean,
+        white-noise, kernel blocks), matching ``GP.grad_log_likelihood``.
+        """
+        alpha = jnp.asarray(alpha)
+        theta = self._theta
+        nparam = int(theta.shape[0])
+        key = jax.random.PRNGKey(self.seed + 1)
+        probes = jax.random.rademacher(
+            key, (self.num_probes, alpha.shape[0]), dtype=alpha.dtype
+        )
+        # Solve K^{-1} u for all probes at once (multi-RHS CG).
+        Kinv_u, _ = self._solve(theta, probes.T)      # (n, num_probes)
+
+        grads = np.zeros(nparam)
+        for k in range(nparam):
+            tangent = jnp.zeros_like(theta).at[k].set(1.0)
+            _, dK_alpha = jax.jvp(
+                lambda th: self._mv(th, alpha), (theta,), (tangent,)
+            )
+            alpha_term = 0.5 * float(jnp.dot(alpha, dK_alpha))
+            _, dK_u = jax.jvp(
+                lambda th: self._mv(th, probes.T), (theta,), (tangent,)
+            )
+            # d(diag)/dtheta = 0, so the jvp is exactly (dK/dtheta_k) u
+            trace_est = float(
+                jnp.mean(jnp.sum(Kinv_u * dK_u, axis=0))
+            )
+            grads[k] = alpha_term - 0.5 * trace_est
+
+        # Assemble into the GP's active-parameter layout: the kernel block
+        # sits after mean and white-noise blocks; mean/WN gradients use the
+        # exact formulas (they are diagonal/cheap).
+        mean_g = []
+        if len(gp.mean):
+            mu_g = gp._call_mean_gradient(np.asarray(x))
+            mean_g = list(np.dot(mu_g, np.asarray(alpha)))
+        wn_g = []
+        if len(gp.white_noise):
+            wn = gp._call_white_noise(np.asarray(x))
+            wng = gp._call_white_noise_gradient(np.asarray(x))
+            # diag(A) = alpha^2 - diag(K^{-1}); estimate diag(K^{-1}) by
+            # Hutchinson with the same probes
+            diag_Kinv = np.asarray(
+                jnp.mean(probes.T * Kinv_u, axis=1)
+            )
+            diag_A = np.asarray(alpha) ** 2 - diag_Kinv
+            wn_g = list(
+                0.5 * np.sum((np.exp(wn) * diag_A)[None, :] * wng, axis=1)
+            )
+
+        kmask = gp.kernel.unfrozen_mask
+        out = np.array(mean_g + wn_g + list(grads[kmask]))
+        return out
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for k in ("_mv", "_solve", "_x", "_nbr", "_mask", "_diag",
+                  "_pdiag", "_theta"):
+            state.pop(k, None)
+        state["computed"] = False
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

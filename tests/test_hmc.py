@@ -1,0 +1,87 @@
+# -*- coding: utf-8 -*-
+"""NUTS/HMC tests: closed-form target moments, adaptation sanity, and a
+short GP-posterior smoke run (statistical parity with the reference's
+emcee-based pattern is asserted as moment agreement, SURVEY.md §7)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from george_tpu import GP, kernels
+from george_tpu.sampling.hmc import sample_nuts, sample_hmc, NUTS
+
+
+def test_nuts_gaussian_moments():
+    cov = np.array([[2.0, 0.8], [0.8, 1.0]])
+    icov = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -0.5])
+
+    def log_prob(theta):
+        d = theta - mu
+        return -0.5 * d @ icov @ d
+
+    p0 = np.random.default_rng(0).standard_normal((8, 2))
+    samples, stats = sample_nuts(
+        jax.random.PRNGKey(0), log_prob, p0, num_warmup=400,
+        num_samples=800,
+    )
+    flat = np.asarray(samples).reshape(-1, 2)
+    assert np.allclose(flat.mean(0), np.asarray(mu), atol=0.1)
+    assert np.allclose(np.cov(flat.T), cov, atol=0.3)
+    assert float(np.mean(stats["diverging"])) < 0.01
+    assert 0.6 < float(np.mean(stats["accept"])) <= 1.0
+
+
+def test_nuts_mass_adaptation_scales():
+    d = 6
+    scales = np.exp(np.linspace(-1.0, 1.0, d))
+
+    def log_prob(theta):
+        return -0.5 * jnp.sum((theta / jnp.asarray(scales)) ** 2)
+
+    p0 = np.random.default_rng(1).standard_normal((8, d))
+    samples, stats = sample_nuts(
+        jax.random.PRNGKey(1), log_prob, p0, num_warmup=500,
+        num_samples=600,
+    )
+    flat = np.asarray(samples).reshape(-1, d)
+    assert np.allclose(flat.std(0) / scales, 1.0, atol=0.2)
+    # adapted inverse mass approximates the marginal variances
+    ratio = np.asarray(stats["inv_mass"]) / scales ** 2
+    assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
+
+
+def test_hmc_gaussian():
+    def log_prob(theta):
+        return -0.5 * jnp.sum(theta ** 2)
+
+    p0 = np.random.default_rng(2).standard_normal((4, 3))
+    samples, stats = sample_hmc(
+        jax.random.PRNGKey(2), log_prob, p0, num_warmup=300,
+        num_samples=600, num_leapfrog=16,
+    )
+    flat = np.asarray(samples).reshape(-1, 3)
+    assert np.allclose(flat.mean(0), 0.0, atol=0.12)
+    assert np.allclose(flat.std(0), 1.0, atol=0.15)
+
+
+def test_nuts_gp_posterior_smoke():
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 10, 50))
+    y = np.sin(x) + 0.1 * rng.standard_normal(50)
+    gp = GP(0.5 * kernels.ExpSquaredKernel(1.0))
+    gp.compute(x, 0.1)
+    log_prob = gp.log_prob_fn(x, y, 0.1, gate_prior=False)
+
+    sampler = NUTS(log_prob, num_warmup=200, max_depth=8)
+    p0 = gp.get_parameter_vector()[None, :] + 1e-2 * rng.standard_normal(
+        (4, len(gp))
+    )
+    samples = sampler.run(p0, 200, seed=4)
+    assert samples.shape == (200, 4, len(gp))
+    assert np.all(np.isfinite(samples))
+    flat = samples.reshape(-1, len(gp))
+    # posterior concentrated but not collapsed
+    assert np.all(flat.std(0) > 1e-3)
+    assert np.all(flat.std(0) < 5.0)

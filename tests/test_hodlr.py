@@ -1,0 +1,199 @@
+# -*- coding: utf-8 -*-
+"""Hierarchical solver tests: dense-oracle comparisons at tight tolerance
+(the reference pattern, ``tests/test_solvers.py:29-55``), autodiff-gradient
+FD checks, and GP integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from george_tpu import GP, kernels
+from george_tpu.solvers import BasicSolver, HODLRSolver
+
+
+def _data(n=600, seed=0, span=20.0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, span, n))[:, None]
+    yerr = 0.3 * np.ones(n)
+    y = np.sin(x[:, 0]) + 0.3 * rng.standard_normal(n)
+    return x, y, yerr
+
+
+def _dense(kernel, x, yerr):
+    K = kernel.get_value(x)
+    K[np.diag_indices_from(K)] += yerr ** 2
+    return K
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        1.2 * kernels.ExpSquaredKernel(2.0),
+        0.5 * kernels.Matern32Kernel(1.0)
+        + 0.2 * kernels.ExpSine2Kernel(gamma=2.0, log_period=0.5),
+        2.0 * kernels.Matern52Kernel(1.5),
+    ],
+)
+def test_hodlr_vs_dense(kernel):
+    x, y, yerr = _data()
+    K = _dense(kernel, x, yerr)
+    _, ld_true = np.linalg.slogdet(K)
+    alpha_true = np.linalg.solve(K, y)
+
+    s = HODLRSolver(kernel, min_size=64, rank=48)
+    s.compute(x, yerr)
+    assert abs(s.log_determinant - ld_true) < 1e-4
+    a = s.apply_inverse(y)
+    assert np.linalg.norm(a - alpha_true) / np.linalg.norm(alpha_true) < 1e-5
+    # matvec against the dense oracle
+    v = np.random.default_rng(1).standard_normal(len(x))
+    mv = s.apply_forward(v)
+    assert np.linalg.norm(mv - K @ v) / np.linalg.norm(K @ v) < 1e-6
+
+
+def test_hodlr_dot_solve_and_multi_rhs():
+    x, y, yerr = _data(500)
+    kernel = 1.5 * kernels.ExpSquaredKernel(1.0)
+    K = _dense(kernel, x, yerr)
+    s = HODLRSolver(kernel, min_size=64, rank=32)
+    s.compute(x, yerr)
+    assert np.isclose(
+        s.dot_solve(y), y @ np.linalg.solve(K, y), rtol=1e-6
+    )
+    B = np.random.default_rng(2).standard_normal((len(x), 3))
+    Z = s.apply_inverse(B)
+    Zt = np.linalg.solve(K, B)
+    assert np.linalg.norm(Z - Zt) / np.linalg.norm(Zt) < 1e-5
+
+
+def test_hodlr_gradient_matvec():
+    """dK/dtheta matvecs via jvp agree with dense kernel gradients."""
+    x, y, yerr = _data(400)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    Kg = kernel.get_gradient(x, include_frozen=True)
+    s = HODLRSolver(kernel, min_size=64, rank=32)
+    s.compute(x, yerr)
+    v = np.random.default_rng(3).standard_normal(len(x))
+    for i in range(Kg.shape[2]):
+        g = s.apply_forward(v, i + 1)
+        ref = Kg[:, :, i] @ v
+        assert (
+            np.linalg.norm(g - ref) / (np.linalg.norm(ref) + 1e-12) < 1e-5
+        )
+
+
+def test_hodlr_loglike_autodiff_gradient():
+    """jax.grad through the factorization matches FD of the exact dense
+    likelihood (the fused replacement for both reference gradient regimes,
+    ``gp.py:440-562``)."""
+    x, y, yerr = _data(500)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    s = HODLRSolver(kernel, min_size=64, rank=48)
+    s.compute(x, yerr)
+    f = s.loglike_fn()
+    th = jnp.asarray(kernel.parameter_vector)
+    diag = jnp.asarray(yerr ** 2)
+    r = jnp.asarray(y)
+    g = np.asarray(jax.grad(f)(th, diag, r))
+
+    def dense_ll(thv):
+        k2 = 1.2 * kernels.ExpSquaredKernel(2.0)
+        k2.set_parameter_vector(np.asarray(thv))
+        K = _dense(k2, x, yerr)
+        _, ld = np.linalg.slogdet(K)
+        return -0.5 * (
+            y @ np.linalg.solve(K, y) + ld + len(x) * np.log(2 * np.pi)
+        )
+
+    eps = 1e-6
+    th0 = np.asarray(th)
+    for i in range(len(th0)):
+        tp, tm = th0.copy(), th0.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        fd = (dense_ll(tp) - dense_ll(tm)) / (2 * eps)
+        assert np.isclose(g[i], fd, rtol=1e-3, atol=1e-4)
+
+
+def test_gp_with_hodlr_solver():
+    """GP end-to-end on the HODLR path: likelihood and gradient agree with
+    the exact solver (reference ``tests/test_tutorial.py`` pattern)."""
+    x, y, yerr = _data(500)
+    kernel = 0.8 * kernels.Matern32Kernel(1.2)
+
+    gp_basic = GP(kernel, solver=BasicSolver)
+    gp_basic.compute(x, yerr)
+    ll_b = gp_basic.log_likelihood(y)
+    g_b = gp_basic.grad_log_likelihood(y)
+
+    gp_h = GP(0.8 * kernels.Matern32Kernel(1.2), solver=HODLRSolver,
+              min_size=64, rank=64)
+    gp_h.compute(x, yerr)
+    ll_h = gp_h.log_likelihood(y)
+    g_h = gp_h.grad_log_likelihood(y)
+
+    assert np.isclose(ll_b, ll_h, rtol=1e-6, atol=1e-4)
+    assert np.allclose(g_b, g_h, rtol=1e-3, atol=1e-4)
+
+
+def test_gp_predict_with_hodlr():
+    x, y, yerr = _data(400)
+    t = np.linspace(0, 20, 100)
+    gp_b = GP(1.1 * kernels.ExpSquaredKernel(1.5))
+    gp_b.compute(x, yerr)
+    mu_b, var_b = gp_b.predict(y, t, return_var=True)
+    gp_h = GP(1.1 * kernels.ExpSquaredKernel(1.5), solver=HODLRSolver,
+              min_size=64, rank=48)
+    gp_h.compute(x, yerr)
+    mu_h, var_h = gp_h.predict(y, t, return_var=True)
+    assert np.allclose(mu_b, mu_h, atol=1e-5)
+    assert np.allclose(var_b, var_h, atol=1e-5)
+
+
+def test_hodlr_2d_morton():
+    """2-D inputs: Morton ordering + FPS skeletons keep the approximation
+    usable (loose tolerance — weak-admissibility HODLR in 2-D, same
+    qualitative behavior as the reference's sorted-input guidance)."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 10, (400, 2))
+    yerr = 0.5 * np.ones(len(x))
+    y = rng.standard_normal(len(x))
+    kernel = 1.0 * kernels.ExpSquaredKernel(3.0, ndim=2)
+    K = _dense(kernel, x, yerr)
+    _, ld_true = np.linalg.slogdet(K)
+    s = HODLRSolver(kernel, min_size=64, rank=64)
+    s.compute(x, yerr)
+    assert abs(s.log_determinant - ld_true) / abs(ld_true) < 5e-3
+    a = s.apply_inverse(y)
+    at = np.linalg.solve(K, y)
+    assert np.linalg.norm(a - at) / np.linalg.norm(at) < 0.05
+
+
+def test_hodlr_small_n_dense_fallback():
+    """n below 2*min_size degenerates to a single dense leaf."""
+    x, y, yerr = _data(80)
+    kernel = 1.0 * kernels.ExpSquaredKernel(1.0)
+    K = _dense(kernel, x, yerr)
+    s = HODLRSolver(kernel, min_size=64, rank=16)
+    s.compute(x, yerr)
+    assert s._struct.L == 0
+    _, ld = np.linalg.slogdet(K)
+    assert np.isclose(s.log_determinant, ld, rtol=1e-10)
+    assert np.allclose(s.apply_inverse(y), np.linalg.solve(K, y))
+
+
+def test_hodlr_pickle_recompute():
+    """Pickling drops device state and flags not-computed (reference
+    ``hodlr.py:96-104``, ``tests/test_pickle.py:22-36``)."""
+    import pickle
+
+    x, y, yerr = _data(300)
+    kernel = 1.0 * kernels.ExpSquaredKernel(1.0)
+    s = HODLRSolver(kernel, min_size=64, rank=32)
+    s.compute(x, yerr)
+    s2 = pickle.loads(pickle.dumps(s))
+    assert not s2.computed
+    s2.compute(x, yerr)
+    assert np.isclose(s2.log_determinant, s.log_determinant, rtol=1e-8)

@@ -1,0 +1,101 @@
+# -*- coding: utf-8 -*-
+"""Compact-support sparse solver tests: exact matvec/solve against the
+dense oracle, stochastic logdet/gradient within estimator tolerance (the
+reference fork's sparse + Hutchinson paths had NO tests — SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from george_tpu import GP, kernels
+from george_tpu.solvers import BasicSolver, SparseSolver
+
+
+def _sparse_problem(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 40, n))[:, None]
+    yerr = 0.3 * np.ones(n)
+    y = np.sin(x[:, 0]) + 0.3 * rng.standard_normal(n)
+    base = 1.2 * kernels.ExpSquaredKernel(2.0)
+    kernel = kernels.WendlandC2Kernel(log_rc=np.log(4.0), kernel_base=base)
+    return x, y, yerr, kernel
+
+
+def _dense(kernel, x, yerr):
+    K = kernel.get_value(x)
+    K[np.diag_indices_from(K)] += yerr ** 2
+    return K
+
+
+def test_sparse_matvec_and_solve_exact():
+    x, y, yerr, kernel = _sparse_problem()
+    K = _dense(kernel, x, yerr)
+    s = SparseSolver(kernel)
+    s.compute(x, yerr)
+    assert s.nnz < 0.3 * len(x) ** 2  # actually sparse
+    v = np.random.default_rng(1).standard_normal(len(x))
+    assert np.allclose(s.apply_forward(v), K @ v, atol=1e-10)
+    a = s.apply_inverse(y)
+    assert np.allclose(a, np.linalg.solve(K, y), atol=1e-7)
+    assert np.isclose(s.dot_solve(y), y @ np.linalg.solve(K, y), rtol=1e-8)
+
+
+def test_sparse_gradient_matvec_exact():
+    x, y, yerr, kernel = _sparse_problem()
+    Kg = kernel.get_gradient(x, include_frozen=True)
+    s = SparseSolver(kernel)
+    s.compute(x, yerr)
+    v = np.random.default_rng(2).standard_normal(len(x))
+    for i in range(Kg.shape[2]):
+        assert np.allclose(
+            s.apply_forward(v, i + 1), Kg[:, :, i] @ v, atol=1e-10
+        )
+
+
+def test_sparse_slq_logdet():
+    x, y, yerr, kernel = _sparse_problem()
+    K = _dense(kernel, x, yerr)
+    _, ld_true = np.linalg.slogdet(K)
+    s = SparseSolver(kernel, num_probes=32, num_steps=40)
+    s.compute(x, yerr)
+    assert abs(s.log_determinant - ld_true) / abs(ld_true) < 0.03
+
+
+def test_sparse_gp_likelihood_and_gradient():
+    """GP on the sparse path tracks the exact path within estimator noise
+    (reference Regime B is stochastic by design, ``gp.py:506-562``)."""
+    x, y, yerr, kernel = _sparse_problem()
+    gp_s = GP(kernel, solver=SparseSolver, num_probes=64, num_steps=40)
+    gp_s.compute(x, yerr)
+    x2, y2, yerr2, kernel2 = _sparse_problem()
+    gp_d = GP(kernel2, solver=BasicSolver)
+    gp_d.compute(x2, yerr2)
+
+    ll_s = gp_s.log_likelihood(y)
+    ll_d = gp_d.log_likelihood(y2)
+    assert abs(ll_s - ll_d) / abs(ll_d) < 0.02
+
+    g_s = gp_s.grad_log_likelihood(y)
+    g_d = gp_d.grad_log_likelihood(y2)
+    # quadratic (alpha) terms are exact; trace terms are Hutchinson
+    assert np.allclose(g_s, g_d, rtol=0.15, atol=0.5)
+
+
+def test_sparse_explicit_radius_and_nns():
+    """An explicit radius (or precomputed CSR nns) drives the sparsity
+    pattern — the fork's ``compute(x, nns, yerr)`` surface, restored as a
+    keyword (``gp.py:304`` vs SURVEY.md §4 breakage note)."""
+    from george_tpu.neighbors import radius_neighbors_csr
+
+    rng = np.random.default_rng(3)
+    n = 200
+    x = np.sort(rng.uniform(0, 20, n))[:, None]
+    yerr = 0.4 * np.ones(n)
+    y = rng.standard_normal(n)
+    kernel = 1.0 * kernels.ExpSquaredKernel(0.1)
+
+    nns = radius_neighbors_csr(x, 2.0)
+    s = SparseSolver(kernel, radius=2.0)
+    s.compute(x, yerr, nns=nns)
+    # short lengthscale: truncation negligible
+    K = _dense(kernel, x, yerr)
+    assert np.allclose(s.apply_inverse(y), np.linalg.solve(K, y), atol=1e-5)
