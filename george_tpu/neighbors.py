@@ -115,6 +115,9 @@ def morton_sort_samples(samples, bits=21):
     n, d = samples.shape
     if d == 1:
         return np.argsort(samples[:, 0], kind="stable")
+    native = _native()
+    if native is not None:
+        return native.morton_sort(samples, bits=bits)
     lo = samples.min(axis=0)
     hi = samples.max(axis=0)
     span = np.where(hi > lo, hi - lo, 1.0)
