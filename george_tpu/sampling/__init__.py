@@ -22,8 +22,15 @@ except ImportError:  # pragma: no cover
     pass
 
 try:
-    from .optimize import minimize  # noqa: F401
+    from .optimize import minimize, fit_adam  # noqa: F401
 
-    __all__ += ["minimize"]
+    __all__ += ["minimize", "fit_adam"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:
+    from .vi import ADVI, fit_advi, advi_sample  # noqa: F401
+
+    __all__ += ["ADVI", "fit_advi", "advi_sample"]
 except ImportError:  # pragma: no cover
     pass

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from ..neighbors import morton_sort_samples
 
 __all__ = ["HODLRSolver", "build_structure", "hodlr_factor", "hodlr_solve",
-           "hodlr_matvec"]
+           "hodlr_matvec", "hodlr_factor_sym", "hodlr_sqrt_matvec"]
 
 
 # ---------------------------------------------------------------------------
@@ -177,11 +177,18 @@ def _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype):
     R = blk(xI, vI, xr, vr)                                 # (p, c, s)
     M = blk(xI, vI, xJ, vJ)                                 # (p, c, c)
 
+    # Interpolation M^+ R as a ridge-regularized least-squares solve.
+    # The skeleton matrix M is often numerically rank-deficient (the
+    # coupling's effective rank < c at coarse levels); the ridge acts as a
+    # smooth truncated pseudo-inverse — unlike a QR triangular solve, which
+    # amplifies the null directions — and keeps reverse-mode autodiff
+    # NaN-free. The absolute floor keeps exactly-zero couplings
+    # (fully-padded siblings, underflow-range blocks) at 0 instead of NaN.
     eps = 100.0 * jnp.finfo(dtype).eps
     G = jnp.einsum("pki,pkj->pij", M, M)
-    lam = eps * (
-        jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
-        + jnp.finfo(dtype).tiny
+    lam = (
+        eps * jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
+        + jnp.finfo(dtype).eps
     )
     G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
     Qt = jnp.linalg.solve(G, jnp.einsum("pki,pks->pis", M, R))
@@ -227,7 +234,17 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
         Zs.append(Z)
 
     # --- upward sweep: factor each level, update coarser left factors -----
-    T = [leaf_solve(Z) for Z in Zs]
+    # The reference updates every ancestor's U factors one node at a time
+    # (``hodlr.h:153-164``); here each level's inverse hits ALL coarser
+    # levels' factors as one concatenated multi-RHS application — L x fewer
+    # dispatches and wider matmuls for the MXU.
+    if L:
+        widths = [Z.shape[1] for Z in Zs]
+        Tcat = leaf_solve(jnp.concatenate(Zs, axis=1))
+        splits = list(np.cumsum(widths))[:-1]
+        T = list(jnp.split(Tcat, splits, axis=1))
+    else:
+        T = []
     levels_out = [None] * L
     for li in range(L - 1, -1, -1):   # li = level index (0 = root split)
         lev = struct.levels[li]
@@ -252,11 +269,14 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
         logdet = logdet + jnp.sum(ld)
         levels_out[li] = (Zs[li], T[li], core_inv)
 
-        def finv(X, Zl=Zs[li], Tl=T[li], ci=core_inv, p=p, s=s, c=c):
-            return _factor_apply_inv(Zl, Tl, ci, p, s, c, X)
-
-        for mi in range(li):
-            T[mi] = finv(T[mi])
+        if li > 0:
+            X = jnp.concatenate(T[:li], axis=1)
+            X = _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X)
+            if li > 1:
+                offs = list(np.cumsum([t.shape[1] for t in T[:li]]))[:-1]
+                T[:li] = list(jnp.split(X, offs, axis=1))
+            else:
+                T[0] = X
 
     factors = {"Lleaf": Lleaf, "levels": levels_out}
     return factors, logdet
@@ -334,6 +354,158 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
         add_r = jnp.einsum("pcs,pck->psk", Qt, px)
         Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
     return Y[:, 0] if squeeze else Y
+
+
+def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
+    """Symmetric factorization ``K = W W^T`` (reference ``sym`` variant,
+    ``hodlr.h:713-786``), batched level-by-level.
+
+    ``W = L_leaf G_L ... G_1`` where each ``G_l`` is block-diagonal over
+    sibling pairs: per pair, with ``Utilde = W_left^{-1} P`` and
+    ``Vtilde = W_right^{-T} Q``, the symmetrized node is
+    ``I + U C U^T`` (``U = blkdiag(Utilde, Vtilde)``, ``C = [[0,I],[I,0]]``);
+    QR-orthonormalize each half (the reference's Q-factors,
+    ``hodlr.h:736-754``) and take the PSD square root of the small
+    ``2c x 2c`` core by eigendecomposition, clamping eigenvalues at a tiny
+    floor (replacing the reference's jitter-escalation retry loop,
+    ``hodlr.h:755-774``, with an analytic repair). ``G`` is symmetric, so
+    ``G^{-T} = G^{-1}`` and one small matrix pair (``S^{1/2}-I``,
+    ``S^{-1/2}-I``) serves all four applications.
+
+    Returns ``{"Lleaf", "levels": [(Qu, Qv, Msym, Minv), ...]}``.
+    """
+    n_pad, m, L = struct.n_pad, struct.m, struct.L
+    B = n_pad // m
+    dtype = diag_pad.dtype
+
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+    Kb = jax.vmap(
+        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
+    )(xb, vb)
+    Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
+    Lleaf = jnp.linalg.cholesky(Kb)
+
+    def leaf_solve(X):
+        Y = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1))
+        return Y.reshape(X.shape)
+
+    def leaf_tri_solve(X, trans):
+        def one(Lb, Xb):
+            return jax.scipy.linalg.solve_triangular(
+                Lb, Xb, lower=True, trans=trans
+            )
+
+        return jax.vmap(one)(Lleaf, X.reshape(B, m, -1)).reshape(X.shape)
+
+    Us, Vs = [], []
+    for lev in struct.levels:
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        C, Qt = _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype)
+        Q = jnp.swapaxes(Qt, -1, -2)
+        # full-row layout: U rows live on left blocks, V rows on right
+        U = jnp.stack([C, jnp.zeros_like(Q)], axis=1).reshape(n_pad, c)
+        V = jnp.stack([jnp.zeros_like(C), Q], axis=1).reshape(n_pad, c)
+        Us.append(U)
+        Vs.append(V)
+
+    # B = W1^{-1} A12 W2^{-T} = (W1^{-1} P)(W2^{-1} Q)^T — both tilde
+    # factors take the same W^{-1} sweep (leaf L^{-1} first, then each
+    # G^{-1} as it is created, fine to coarse).
+    Ut = [leaf_tri_solve(U, 0) for U in Us]
+    Vt = [leaf_tri_solve(V, 0) for V in Vs]
+
+    levels_out = [None] * L
+    eigen_floor = 100.0 * jnp.finfo(dtype).eps
+    for li in range(L - 1, -1, -1):
+        lev = struct.levels[li]
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        Ub = Ut[li].reshape(p, 2, s, c)[:, 0]
+        Vb = Vt[li].reshape(p, 2, s, c)[:, 1]
+        Qu, Ru = jnp.linalg.qr(Ub)               # (p, s, c), (p, c, c)
+        Qv, Rv = jnp.linalg.qr(Vb)
+        cross = jnp.einsum("pij,pkj->pik", Ru, Rv)   # Ru Rv^T
+        zero = jnp.zeros((p, c, c), dtype=dtype)
+        S = jnp.concatenate(
+            [
+                jnp.concatenate([zero, cross], axis=-1),
+                jnp.concatenate(
+                    [jnp.swapaxes(cross, -1, -2), zero], axis=-1
+                ),
+            ],
+            axis=-2,
+        )
+        eye2 = jnp.eye(2 * c, dtype=dtype)
+        evals, evecs = jnp.linalg.eigh(eye2 + S)
+        evals = jnp.maximum(evals, eigen_floor)
+        sqrt_e = jnp.sqrt(evals)
+        Msym = (
+            jnp.einsum("pik,pk,pjk->pij", evecs, sqrt_e, evecs) - eye2
+        )
+        Minv = (
+            jnp.einsum("pik,pk,pjk->pij", evecs, 1.0 / sqrt_e, evecs)
+            - eye2
+        )
+        levels_out[li] = (Qu, Qv, Msym, Minv)
+
+        def ginv(X, Qu=Qu, Qv=Qv, Minv=Minv, p=p, s=s, c=c):
+            return _sym_apply(Qu, Qv, Minv, p, s, c, X)
+
+        # update coarser factors: G^{-1} hits both U-tilde and V-tilde
+        for mi in range(li):
+            Ut[mi] = ginv(Ut[mi])
+            Vt[mi] = ginv(Vt[mi])
+
+    return {"Lleaf": Lleaf, "levels": levels_out}
+
+
+def _sym_apply(Qu, Qv, M, p, s, c, X):
+    """Apply the symmetric factor ``I + Qhat M Qhat^T`` (block-diagonal
+    per pair, ``Qhat = blkdiag(Qu, Qv)``) to ``X`` ``(n_pad, k)``."""
+    k = X.shape[-1]
+    Xb = X.reshape(p, 2, s, k)
+    top = jnp.einsum("psc,psk->pck", Qu, Xb[:, 0])
+    bot = jnp.einsum("psc,psk->pck", Qv, Xb[:, 1])
+    y = jnp.einsum("pcd,pdk->pck", M, jnp.concatenate([top, bot], axis=1))
+    add_l = jnp.einsum("psc,pck->psk", Qu, y[:, :c])
+    add_r = jnp.einsum("psc,pck->psk", Qv, y[:, c:])
+    return (Xb + jnp.stack([add_l, add_r], axis=1)).reshape(X.shape)
+
+
+def hodlr_sqrt_matvec(sym_factors, struct, X, transpose=False):
+    """``W X`` (or ``W^T X``) through the symmetric cascade.
+
+    ``W = L_leaf G_L ... G_1``: forward applies the root factor first and
+    the leaf Cholesky last; transpose reverses and uses ``L^T``.
+    """
+    Lleaf = sym_factors["Lleaf"]
+    B, m, _ = Lleaf.shape
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+
+    def leaf_mul(X, trans):
+        Xb = X.reshape(B, m, -1)
+        if trans:
+            Y = jnp.einsum("bji,bjk->bik", Lleaf, Xb)
+        else:
+            Y = jnp.einsum("bij,bjk->bik", Lleaf, Xb)
+        return Y.reshape(X.shape)
+
+    if transpose:
+        # W^T = G_1 ... G_L L^T: leaf first, then fine -> coarse
+        X = leaf_mul(X, True)
+        order = range(len(struct.levels) - 1, -1, -1)
+    else:
+        # W = L G_L ... G_1: coarse -> fine, leaf last
+        order = range(len(struct.levels))
+    for li in order:
+        lev = struct.levels[li]
+        Qu, Qv, Msym, _ = sym_factors["levels"][li]
+        X = _sym_apply(Qu, Qv, Msym, lev["p"], lev["s"], lev["c"], X)
+    if not transpose:
+        X = leaf_mul(X, False)
+    return X[:, 0] if squeeze else X
 
 
 # ---------------------------------------------------------------------------
@@ -529,17 +701,40 @@ class HODLRSolver(object):
         return self.apply_inverse(np.eye(self._struct.n))
 
     def apply_sqrt(self, r):
-        raise NotImplementedError(
-            "apply_sqrt requires the symmetric factorization; "
-            "use sample_prior via the exact solver or the sym variant"
-        )
+        """``r @ W^T`` with ``K = W W^T`` from the symmetric factorization
+        (reference ``sym`` variant + ``apply_sqrt`` semantics,
+        ``basic.py:284-302``) — O(N r log N) prior sampling transport."""
+        if self.__dict__.get("_sym_factors") is None:
+            pair = self.kernel.pair_fn
+            st = self._struct
+            theta = jnp.asarray(self.kernel.parameter_vector)
+            self._sym_factors = jax.jit(
+                lambda th: hodlr_factor_sym(
+                    pair, th, self._xpad, self._valid, self._diag_pad, st
+                )
+            )(theta)
+            self._sqrt_fn = jax.jit(
+                lambda f, X: hodlr_sqrt_matvec(f, st, X)
+            )
+        r = np.asarray(r, dtype=np.float64)
+        squeeze = r.ndim == 1
+        R = r[None, :] if squeeze else r           # (size, n)
+        st = self._struct
+        Z = np.zeros((st.n_pad, R.shape[0]))
+        Z[: st.n] = R.T[self._perm]
+        out = np.asarray(self._sqrt_fn(self._sym_factors, jnp.asarray(Z)))
+        res = np.empty((st.n, R.shape[0]))
+        res[self._perm] = out[: st.n]
+        res = res.T
+        return res[0] if squeeze else res
 
     # Pickling: drop device state; recompute on demand (the reference HODLR
     # does the same, ``hodlr.py:96-104``).
     def __getstate__(self):
         state = self.__dict__.copy()
         for k in ("_factors", "_xpad", "_valid", "_diag_pad",
-                  "_factor_fn", "_solve_fn", "_mv_fn", "_mv_jvp_fn"):
+                  "_factor_fn", "_solve_fn", "_mv_fn", "_mv_jvp_fn",
+                  "_sym_factors", "_sqrt_fn"):
             state.pop(k, None)
         state["computed"] = False
         return state

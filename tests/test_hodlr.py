@@ -184,6 +184,33 @@ def test_hodlr_small_n_dense_fallback():
     assert np.allclose(s.apply_inverse(y), np.linalg.solve(K, y))
 
 
+def test_hodlr_apply_sqrt_symmetric():
+    """Symmetric factorization: ``W W^T = K`` (reference sym variant,
+    ``hodlr.h:713-786``), enabling O(N r log N) prior sampling."""
+    x, y, yerr = _data(500)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    K = _dense(kernel, x, yerr)
+    s = HODLRSolver(kernel, min_size=64, rank=48)
+    s.compute(x, yerr)
+    Wt = s.apply_sqrt(np.eye(len(x)))    # (W I)^T = W^T
+    WWt = Wt.T @ Wt
+    assert np.linalg.norm(WWt - K) / np.linalg.norm(K) < 1e-5
+
+
+def test_gp_sample_with_hodlr():
+    x, y, yerr = _data(400)
+    gp = GP(1.0 * kernels.ExpSquaredKernel(1.5), solver=HODLRSolver,
+            min_size=64, rank=48)
+    gp.compute(x, yerr)
+    np.random.seed(0)
+    draws = gp.sample(size=6)
+    assert draws.shape == (6, len(x))
+    assert np.all(np.isfinite(draws))
+    # scale sanity: samples have the prior's marginal scale
+    marg = np.sqrt(1.0 + yerr[0] ** 2)
+    assert 0.5 * marg < draws.std() < 2.0 * marg
+
+
 def test_hodlr_pickle_recompute():
     """Pickling drops device state and flags not-computed (reference
     ``hodlr.py:96-104``, ``tests/test_pickle.py:22-36``)."""
