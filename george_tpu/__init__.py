@@ -17,6 +17,8 @@ from . import metrics  # noqa: F401
 from . import modeling  # noqa: F401
 from . import solvers  # noqa: F401
 from . import sampling  # noqa: F401
+from . import diagnostics  # noqa: F401
+from . import checkpoint  # noqa: F401
 from .gp import GP, TINY  # noqa: F401
 from .metrics import Metric, Subspace  # noqa: F401
 from .solvers import (  # noqa: F401

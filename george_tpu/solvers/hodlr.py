@@ -139,10 +139,16 @@ def build_structure(n, min_size=64, rank=32, seed=42, x_sorted=None):
 
 def _block_matrix(pair_fn, theta, xa, va, xb, vb):
     """Masked kernel block ``K[i, j] = k(xa[i], xb[j])`` (0 where either
-    point is padding)."""
-    K = jax.vmap(
-        lambda a: jax.vmap(lambda b: pair_fn(theta, a, b))(xb)
-    )(xa)
+    point is padding). Rematerialized in reverse mode: block assembly is
+    cheap to recompute and its residuals dominate memory at large N."""
+
+    @jax.checkpoint
+    def assemble(theta, xa, xb):
+        return jax.vmap(
+            lambda a: jax.vmap(lambda b: pair_fn(theta, a, b))(xb)
+        )(xa)
+
+    K = assemble(theta, xa, xb)
     return jnp.where(va[:, None] & vb[None, :], K, 0.0)
 
 
@@ -284,20 +290,28 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
 
 def _factor_apply_inv(Z, T, core_inv, p, s, c, X):
     """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to ``X``
-    ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``)."""
-    k = X.shape[-1]
-    Xb = X.reshape(p, 2, s, k)
-    Zb = Z.reshape(p, 2, s, c)
-    Tb = T.reshape(p, 2, s, c)
-    top = jnp.einsum("psc,psk->pck", Zb[:, 1], Xb[:, 1])    # Q^T X_right
-    bot = jnp.einsum("psc,psk->pck", Zb[:, 0], Xb[:, 0])    # P^T X_left
-    y = jnp.einsum(
-        "pcd,pdk->pck", core_inv, jnp.concatenate([top, bot], axis=1)
-    )
-    dx_l = jnp.einsum("psc,pck->psk", Tb[:, 0], y[:, :c])
-    dx_r = jnp.einsum("psc,pck->psk", Tb[:, 1], y[:, c:])
-    out = Xb - jnp.stack([dx_l, dx_r], axis=1)
-    return out.reshape(X.shape)
+    ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
+    Rematerialized: each application is a handful of einsums, so
+    recomputing in the backward pass trades negligible FLOPs for the
+    O(L^2) chain of stored intermediates at large N."""
+
+    @jax.checkpoint
+    def apply(Z, T, core_inv, X):
+        k = X.shape[-1]
+        Xb = X.reshape(p, 2, s, k)
+        Zb = Z.reshape(p, 2, s, c)
+        Tb = T.reshape(p, 2, s, c)
+        top = jnp.einsum("psc,psk->pck", Zb[:, 1], Xb[:, 1])  # Q^T X_r
+        bot = jnp.einsum("psc,psk->pck", Zb[:, 0], Xb[:, 0])  # P^T X_l
+        y = jnp.einsum(
+            "pcd,pdk->pck", core_inv, jnp.concatenate([top, bot], axis=1)
+        )
+        dx_l = jnp.einsum("psc,pck->psk", Tb[:, 0], y[:, :c])
+        dx_r = jnp.einsum("psc,pck->psk", Tb[:, 1], y[:, c:])
+        out = Xb - jnp.stack([dx_l, dx_r], axis=1)
+        return out.reshape(X.shape)
+
+    return apply(Z, T, core_inv, X)
 
 
 def hodlr_solve(factors, struct, X):
@@ -548,6 +562,8 @@ class HODLRSolver(object):
         self.rank = int(rank)
         self.seed = int(seed)
         self.sort = bool(sort)
+        self.verbose = bool(verbose)
+        self.debug = bool(debug)
         self.computed = False
         self.log_determinant = None
         self._struct = None
@@ -602,9 +618,17 @@ class HODLRSolver(object):
         self._solve_fn = jax.jit(
             lambda f, yy: hodlr_solve(f, st, yy)
         )
-        factors, logdet = self._factor_fn(
-            theta, self._xpad, self._valid, self._diag_pad
-        )
+        from ..diagnostics import timer
+
+        # the reference prints "Time taken for HODLR" per build
+        # (_hodlr.cpp:139-141); here the span is registered and only
+        # printed when verbose
+        with timer("hodlr.compute", verbose=self.verbose) as tm:
+            factors, logdet = tm.sync(
+                self._factor_fn(
+                    theta, self._xpad, self._valid, self._diag_pad
+                )
+            )
         if not bool(jnp.isfinite(logdet)):
             raise np.linalg.LinAlgError(
                 "HODLR factorization failed (non-finite log-determinant)"

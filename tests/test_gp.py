@@ -235,3 +235,26 @@ def test_lcm_multi_output_gp():
     g = gp.grad_log_likelihood(y)
     gfd = _fd_gradient(gp, y)
     assert np.allclose(g, gfd, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_kernel_override_mixture_separation():
+    """Per-component prediction via the ``kernel=`` override — the
+    mixture-of-GPs separation pattern (reference ``gp.py:624-628``,
+    ``docs/tutorials/mixture.rst``): component means add up to the full
+    posterior mean."""
+    rng = np.random.RandomState(1)
+    x = np.sort(rng.uniform(0, 10, 80))
+    y = np.sin(x) + 0.05 * rng.randn(80)
+    k1 = 0.8 * kernels.ExpSquaredKernel(3.0)
+    k2 = 0.3 * kernels.ExpSquaredKernel(0.1)
+    gp = GP(k1 + k2)
+    gp.compute(x, 0.05)
+
+    t = np.linspace(0, 10, 60)
+    mu_full = gp.predict(y, t, return_cov=False)
+    mu1 = gp.predict(y, t, return_cov=False, kernel=k1)
+    mu2 = gp.predict(y, t, return_cov=False, kernel=k2)
+    mean_t = np.zeros_like(t)
+    assert np.allclose(mu1 + mu2 - mean_t, mu_full, atol=1e-8)
+    # the smooth component carries most of the sine signal
+    assert np.sqrt(np.mean((mu1 - np.sin(t)) ** 2)) < 0.3
