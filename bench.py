@@ -53,6 +53,7 @@ def main():
     from george_tpu import kernels
     from george_tpu.solvers.hodlr import (
         build_structure, hodlr_factor, hodlr_solve,
+        hodlr_loglike_and_grad_hutchinson,
     )
 
     # Quasi-periodic 1-D dataset (the reference's flagship HODLR workload,
@@ -90,14 +91,28 @@ def main():
     rj = jnp.asarray(r_pad)
     theta = jnp.asarray(kernel.parameter_vector, dtype=dtype)
 
-    def loglike(th):
-        factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
-        z = hodlr_solve(factors, st, rj)
-        return -0.5 * (
-            jnp.dot(rj, z) + logdet + n * jnp.log(2.0 * jnp.pi)
-        )
+    if n <= 300_000:
+        # exact autodiff gradient: one reverse sweep of the factorization
+        def loglike(th):
+            factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
+            z = hodlr_solve(factors, st, rj)
+            return -0.5 * (
+                jnp.dot(rj, z) + logdet + n * jnp.log(2.0 * jnp.pi)
+            )
 
-    vag = jax.jit(jax.value_and_grad(loglike))
+        vag = jax.jit(jax.value_and_grad(loglike))
+    else:
+        # reverse-mode residuals exceed HBM at this N; use the exact-quad
+        # + Hutchinson-trace gradient (reference Regime B) — forward-mode
+        key = jax.random.PRNGKey(0)
+
+        def vag_fn(th):
+            return hodlr_loglike_and_grad_hutchinson(
+                pair, th, xj, vj, dj, rj, st, key,
+                num_probes=8, n_real=n,
+            )
+
+        vag = jax.jit(vag_fn)
 
     def run():
         ll, g = vag(theta)

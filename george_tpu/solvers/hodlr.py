@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from ..neighbors import morton_sort_samples
 
 __all__ = ["HODLRSolver", "build_structure", "hodlr_factor", "hodlr_solve",
-           "hodlr_matvec", "hodlr_factor_sym", "hodlr_sqrt_matvec"]
+           "hodlr_matvec", "hodlr_factor_sym", "hodlr_sqrt_matvec",
+           "hodlr_loglike_and_grad_hutchinson"]
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +66,6 @@ class HODLRStructure(object):
 
     def __init__(self, n, min_size=64, rank=32, seed=42, x_sorted=None):
         self.n = int(n)
-        self.rank = int(rank)
         self.seed = int(seed)
         L = 0
         while (self.n + (1 << (L + 1)) - 1) // (1 << (L + 1)) >= min_size:
@@ -73,6 +73,10 @@ class HODLRStructure(object):
         self.L = L
         self.m = (self.n + (1 << L) - 1) >> L
         self.n_pad = self.m << L
+        # a uniform skeleton rank across levels lets the entry assembly
+        # and interpolation solves batch over ALL levels at once
+        self.rank = min(int(rank), self.m)
+        rank = self.rank
         self.levels = []
         rng = np.random.default_rng(seed)
         if x_sorted is not None:
@@ -102,6 +106,50 @@ class HODLRStructure(object):
                  "row_piv": base + row_piv,
                  "col_piv": base + s + col_piv}
             )
+        self._build_flat()
+
+    def _build_flat(self):
+        """Cross-level flattened index arrays so kernel-entry assembly and
+        the interpolation solves run as ONE batched op over all levels
+        (compile-time and dispatch win over per-level calls)."""
+        L = self.L
+        if L == 0:
+            self.flat = None
+            return
+        c = self.rank
+        rp_all = np.concatenate([lv["row_piv"] for lv in self.levels])
+        cp_all = np.concatenate([lv["col_piv"] for lv in self.levels])
+        pair_offset = np.cumsum(
+            [0] + [lv["p"] for lv in self.levels]
+        )
+        rowsC, pairC, rowsR, pairR = [], [], [], []
+        row_offset = [0]
+        for li, lv in enumerate(self.levels):
+            s, p = lv["s"], lv["p"]
+            base = np.arange(p, dtype=np.int64)[:, None] * 2 * s
+            left = (base + np.arange(s, dtype=np.int64)[None, :]).ravel()
+            right = (
+                base + s + np.arange(s, dtype=np.int64)[None, :]
+            ).ravel()
+            pid = (
+                pair_offset[li]
+                + np.repeat(np.arange(p, dtype=np.int64), s)
+            )
+            rowsC.append(left)
+            rowsR.append(right)
+            pairC.append(pid)
+            pairR.append(pid)
+            row_offset.append(row_offset[-1] + p * s)
+        self.flat = {
+            "c": c,
+            "rp_all": rp_all.astype(np.int32),      # (P, c)
+            "cp_all": cp_all.astype(np.int32),
+            "rowsC": np.concatenate(rowsC).astype(np.int32),   # (T,)
+            "rowsR": np.concatenate(rowsR).astype(np.int32),
+            "pair_of_row": np.concatenate(pairC).astype(np.int32),
+            "pair_offset": pair_offset,
+            "row_offset": np.asarray(row_offset),
+        }
 
 
 def _fps_pivots(xb, vmask, c, rng):
@@ -157,39 +205,37 @@ def _cho_solve_lower(L, y):
     return jax.scipy.linalg.solve_triangular(L, z, lower=True, trans=1)
 
 
-def _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype):
-    """Skeleton (CUR) factors for one level's sibling couplings.
+def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
+    """Skeleton (CUR) factors for EVERY level's sibling couplings, with
+    the kernel-entry assembly and the interpolation solves batched over
+    all levels at once (one fused op instead of 3L per-level calls).
 
-    Returns ``(C, Qt)`` with ``A12 ~= C @ Qt`` per pair: ``C`` ``(p, s, c)``
-    the sampled columns ``K[left, J]`` and ``Qt`` ``(p, c, s)`` the
-    ridge-regularized interpolation ``(M^T M + lam I)^{-1} M^T K[I, right]``
-    — a differentiable, static-shape stand-in for adaptive ACA
-    (``hodlr.h:303-680``)."""
-    s, p, c = lev["s"], lev["p"], lev["c"]
-    rp = jnp.asarray(lev["row_piv"])
-    cp = jnp.asarray(lev["col_piv"])
-    xl = xpad.reshape(p, 2, s, -1)[:, 0]
-    xr = xpad.reshape(p, 2, s, -1)[:, 1]
-    vl = valid.reshape(p, 2, s)[:, 0]
-    vr = valid.reshape(p, 2, s)[:, 1]
-    xI, vI = xpad[rp], valid[rp]
+    Per pair, ``A12 ~= C @ Q^T``: ``C = K[left, J]`` sampled columns and
+    ``Q = K[I, right]^T M G^{-1}`` the ridge-regularized interpolant —
+    a differentiable, static-shape stand-in for adaptive ACA
+    (``hodlr.h:303-680``). The ridge acts as a smooth truncated
+    pseudo-inverse (couplings are often numerically rank-deficient; a QR
+    triangular solve would amplify the null directions) and its absolute
+    floor keeps exactly-zero couplings (fully-padded siblings,
+    underflow-range blocks) at 0 instead of NaN.
+
+    Returns ``[(C, Q), ...]`` per level, each ``(p, s, c)``.
+    """
+    flat = struct.flat
+    if flat is None:
+        return []
+    c = flat["c"]
+    rp = jnp.asarray(flat["rp_all"])
+    cp = jnp.asarray(flat["cp_all"])
+    pid = jnp.asarray(flat["pair_of_row"])
+    xI, vI = xpad[rp], valid[rp]                # (P, c, d), (P, c)
     xJ, vJ = xpad[cp], valid[cp]
 
     blk = jax.vmap(
         lambda xa, va, xb_, vb_: _block_matrix(pair_fn, theta, xa, va,
                                                xb_, vb_)
     )
-    C = blk(xl, vl, xJ, vJ)                                 # (p, s, c)
-    R = blk(xI, vI, xr, vr)                                 # (p, c, s)
-    M = blk(xI, vI, xJ, vJ)                                 # (p, c, c)
-
-    # Interpolation M^+ R as a ridge-regularized least-squares solve.
-    # The skeleton matrix M is often numerically rank-deficient (the
-    # coupling's effective rank < c at coarse levels); the ridge acts as a
-    # smooth truncated pseudo-inverse — unlike a QR triangular solve, which
-    # amplifies the null directions — and keeps reverse-mode autodiff
-    # NaN-free. The absolute floor keeps exactly-zero couplings
-    # (fully-padded siblings, underflow-range blocks) at 0 instead of NaN.
+    M = blk(xI, vI, xJ, vJ)                     # (P, c, c)
     eps = 100.0 * jnp.finfo(dtype).eps
     G = jnp.einsum("pki,pkj->pij", M, M)
     lam = (
@@ -197,8 +243,40 @@ def _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype):
         + jnp.finfo(dtype).eps
     )
     G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
-    Qt = jnp.linalg.solve(G, jnp.einsum("pki,pks->pis", M, R))
-    return C, Qt
+
+    @jax.checkpoint
+    def ev(theta, xa, xb):
+        return jax.vmap(
+            lambda a, B: jax.vmap(lambda b: pair_fn(theta, a, b))(B)
+        )(xa, xb)
+
+    def rows_eval(rows, xP, vP):
+        rows = jnp.asarray(rows)
+        xa, va = xpad[rows], valid[rows]        # (T, d), (T,)
+        xb, vb = xP[pid], vP[pid]               # (T, c, d), (T, c)
+        E = ev(theta, xa, xb)
+        return jnp.where(va[:, None] & vb, E, 0.0)
+
+    C_flat = rows_eval(flat["rowsC"], xJ, vJ)   # (T, c) rows of K[left, J]
+    # kernel symmetry: K[I, right]^T rows are K(x_right_row, x_I)
+    Rt_flat = rows_eval(flat["rowsR"], xI, vI)  # (T, c)
+
+    out = []
+    ro, po = flat["row_offset"], flat["pair_offset"]
+    for li, lev in enumerate(struct.levels):
+        s, p = lev["s"], lev["p"]
+        C = C_flat[ro[li]:ro[li + 1]].reshape(p, s, c)
+        Rt = Rt_flat[ro[li]:ro[li + 1]].reshape(p, s, c)
+        Ml = M[po[li]:po[li + 1]]
+        Gl = G[po[li]:po[li + 1]]
+        # Solve with the PROJECTED right-hand side M^T R (which lies in
+        # range(M)): precomputing G^{-1} M^T and multiplying by R later is
+        # mathematically identical but numerically injects ~eps/lam
+        # null-space junk.
+        rhs = jnp.einsum("pkc,psk->pcs", Ml, Rt)
+        Qt = jnp.linalg.solve(Gl, rhs)
+        out.append((C, jnp.swapaxes(Qt, -1, -2)))
+    return out
 
 
 def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
@@ -230,13 +308,13 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
         Y = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1))
         return Y.reshape(X.shape)
 
-    # --- raw skeleton factors per level ----------------------------------
+    # --- raw skeleton factors, all levels assembled in one batch ---------
     Zs = []
-    for lev in struct.levels:
-        s, p, c = lev["s"], lev["p"], lev["c"]
-        C, Qt = _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype)
-        Q = jnp.swapaxes(Qt, -1, -2)                        # (p, s, c)
-        Z = jnp.stack([C, Q], axis=1).reshape(n_pad, c)
+    for lev, (C, Q) in zip(
+        struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
+                                    dtype)
+    ):
+        Z = jnp.stack([C, Q], axis=1).reshape(n_pad, lev["c"])
         Zs.append(Z)
 
     # --- upward sweep: factor each level, update coarser left factors -----
@@ -355,19 +433,73 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
         Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
     Y = jnp.einsum("bij,bjk->bik", Kb, X.reshape(B, m, k)).reshape(X.shape)
 
-    for lev in struct.levels:
+    for lev, (C, Q) in zip(
+        struct.levels,
+        _all_lowrank(pair_fn, theta, xpad, valid, struct, diag_pad.dtype),
+    ):
         s, p, c = lev["s"], lev["p"], lev["c"]
-        C, Qt = _level_lowrank(
-            pair_fn, theta, xpad, valid, lev, diag_pad.dtype
-        )
         Xb = X.reshape(p, 2, s, k)
         # left rows += P (Q^T x_right); right rows += Q (P^T x_left)
-        qx = jnp.einsum("pcs,psk->pck", Qt, Xb[:, 1])
+        qx = jnp.einsum("psc,psk->pck", Q, Xb[:, 1])
         px = jnp.einsum("psc,psk->pck", C, Xb[:, 0])
         add_l = jnp.einsum("psc,pck->psk", C, qx)
-        add_r = jnp.einsum("pcs,pck->psk", Qt, px)
+        add_r = jnp.einsum("psc,pck->psk", Q, px)
         Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
     return Y[:, 0] if squeeze else Y
+
+
+def hodlr_loglike_and_grad_hutchinson(
+    pair_fn, theta, xpad, valid, diag_pad, r_pad, struct, key,
+    num_probes=16, n_real=None,
+):
+    """Log-likelihood + gradient without reverse-mode through the sweep.
+
+    The exact-autodiff gradient stores the O(L^2) ancestor-update chain —
+    ~10 GB at N=1e6 — so at very large N the gradient uses the reference's
+    matrix-free Regime B (``gp.py:506-562``) built from this solver's
+    primitives, entirely forward-mode:
+
+      d ll / d theta_k = 1/2 a^T (dK/dth_k) a
+                          - 1/2 E_u[(K^{-1}u)^T (dK/dth_k) u],
+
+    with ``a = K^{-1} r`` and Rademacher probes ``u``; ``dK`` matvecs are
+    ``jax.jvp`` of the compressed matvec (the analogue of the reference's
+    per-parameter gradient trees, ``_hodlr.cpp:171-191``). Memory: one
+    factorization + (1 + num_probes) solves.
+    """
+    n = struct.n if n_real is None else n_real
+    factors, logdet = hodlr_factor(
+        pair_fn, theta, xpad, valid, diag_pad, struct
+    )
+    probes = jax.random.rademacher(
+        key, (struct.n_pad, num_probes), dtype=r_pad.dtype
+    )
+    probes = probes * valid[:, None]
+    rhs = jnp.concatenate([r_pad[:, None], probes], axis=1)
+    sol = hodlr_solve(factors, struct, rhs)
+    alpha, Kinv_u = sol[:, 0], sol[:, 1:]
+    quad = jnp.dot(r_pad, alpha)
+    ll = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+    av = jnp.concatenate([alpha[:, None], probes], axis=1)
+
+    def mv(th):
+        return hodlr_matvec(
+            pair_fn, th, xpad, valid, diag_pad, struct, av,
+            include_diag=False,
+        )
+
+    def grad_k(k):
+        tangent = jnp.zeros_like(theta).at[k].set(1.0)
+        _, dK_av = jax.jvp(mv, (theta,), (tangent,))
+        quad_term = 0.5 * jnp.dot(alpha, dK_av[:, 0])
+        trace_term = 0.5 * jnp.mean(
+            jnp.sum(Kinv_u * dK_av[:, 1:], axis=0)
+        )
+        return quad_term - trace_term
+
+    grads = jnp.stack([grad_k(k) for k in range(theta.shape[0])])
+    return ll, grads
 
 
 def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
@@ -413,10 +545,11 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
         return jax.vmap(one)(Lleaf, X.reshape(B, m, -1)).reshape(X.shape)
 
     Us, Vs = [], []
-    for lev in struct.levels:
-        s, p, c = lev["s"], lev["p"], lev["c"]
-        C, Qt = _level_lowrank(pair_fn, theta, xpad, valid, lev, dtype)
-        Q = jnp.swapaxes(Qt, -1, -2)
+    for lev, (C, Q) in zip(
+        struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
+                                    dtype)
+    ):
+        c = lev["c"]
         # full-row layout: U rows live on left blocks, V rows on right
         U = jnp.stack([C, jnp.zeros_like(Q)], axis=1).reshape(n_pad, c)
         V = jnp.stack([jnp.zeros_like(C), Q], axis=1).reshape(n_pad, c)
@@ -545,7 +678,7 @@ class HODLRSolver(object):
     def __init__(self, kernel, min_size=64, rank=None, tol=0.1,
                  tol_abs=None, seed=42, sort=True, verbose=False,
                  debug=False, compute_grad=False, sym=False, knn=None,
-                 **kwargs):
+                 grad_mode="exact", num_probes=16, **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         if rank is None:
@@ -564,6 +697,19 @@ class HODLRSolver(object):
         self.sort = bool(sort)
         self.verbose = bool(verbose)
         self.debug = bool(debug)
+        # "exact": gradients by reverse-mode through the factorization
+        # (default; stores the update chain — fine to N ~ 3e5 per chip).
+        # "hutchinson": the reference's matrix-free Regime B
+        # (gp.py:506-562) built from jvp matvecs + multi-RHS solves —
+        # O(N r log N) memory, stochastic trace term, for very large N.
+        # compute_grad=True (the reference's flag) selects hutchinson.
+        if compute_grad:
+            grad_mode = "hutchinson"
+        if grad_mode not in ("exact", "hutchinson"):
+            raise ValueError("grad_mode must be 'exact' or 'hutchinson'")
+        self.grad_mode = grad_mode
+        self.matrix_free = grad_mode == "hutchinson"
+        self.num_probes = int(num_probes)
         self.computed = False
         self.log_determinant = None
         self._struct = None
@@ -723,6 +869,43 @@ class HODLRSolver(object):
 
     def get_inverse(self):
         return self.apply_inverse(np.eye(self._struct.n))
+
+    def grad_log_likelihood(self, gp, x, alpha, unfrozen_mask):
+        """Matrix-free GP gradient (``grad_mode='hutchinson'``): exact
+        quadratic terms, Hutchinson-estimated traces (reference Regime B,
+        ``gp.py:506-562``), through this solver's jvp matvecs."""
+        n = self._struct.n
+        alpha = np.asarray(alpha)
+        rng = np.random.default_rng(self.seed + 1)
+        probes = rng.choice([-1.0, 1.0], size=(n, self.num_probes))
+        Kinv_u = self.apply_inverse(probes)
+
+        nparam = int(self.kernel.full_size)
+        kernel_grads = np.empty(nparam)
+        for k in range(nparam):
+            dK_alpha = self.apply_forward(alpha, k + 1)
+            dK_u = self.apply_forward(probes, k + 1)
+            quad_term = 0.5 * float(alpha @ dK_alpha)
+            trace_term = 0.5 * float(
+                np.mean(np.sum(Kinv_u * dK_u, axis=0))
+            )
+            kernel_grads[k] = quad_term - trace_term
+
+        mean_g = []
+        if len(gp.mean):
+            mu_g = gp._call_mean_gradient(np.asarray(x))
+            mean_g = list(np.dot(mu_g, alpha))
+        wn_g = []
+        if len(gp.white_noise):
+            wn = gp._call_white_noise(np.asarray(x))
+            wng = gp._call_white_noise_gradient(np.asarray(x))
+            diag_Kinv = np.mean(probes * Kinv_u, axis=1)
+            diag_A = alpha ** 2 - diag_Kinv
+            wn_g = list(
+                0.5 * np.sum((np.exp(wn) * diag_A)[None, :] * wng, axis=1)
+            )
+        kmask = gp.kernel.unfrozen_mask
+        return np.array(mean_g + wn_g + list(kernel_grads[kmask]))
 
     def apply_sqrt(self, r):
         """``r @ W^T`` with ``K = W W^T`` from the symmetric factorization

@@ -79,8 +79,10 @@ def test_hodlr_gradient_matvec():
     for i in range(Kg.shape[2]):
         g = s.apply_forward(v, i + 1)
         ref = Kg[:, :, i] @ v
+        # the derivative of the *compressed* operator tracks the dense dK
+        # to the compression error; the ridge conditioning bounds this
         assert (
-            np.linalg.norm(g - ref) / (np.linalg.norm(ref) + 1e-12) < 1e-5
+            np.linalg.norm(g - ref) / (np.linalg.norm(ref) + 1e-12) < 1e-4
         )
 
 
@@ -182,6 +184,23 @@ def test_hodlr_small_n_dense_fallback():
     _, ld = np.linalg.slogdet(K)
     assert np.isclose(s.log_determinant, ld, rtol=1e-10)
     assert np.allclose(s.apply_inverse(y), np.linalg.solve(K, y))
+
+
+def test_gp_hodlr_hutchinson_gradient():
+    """grad_mode='hutchinson' (reference compute_grad Regime B): GP
+    gradient tracks the exact-solver gradient within estimator noise."""
+    x, y, yerr = _data(400)
+    k = 0.9 * kernels.ExpSquaredKernel(1.5)
+    gp_h = GP(k, solver=HODLRSolver, min_size=64, rank=48,
+              grad_mode="hutchinson", num_probes=64)
+    gp_h.compute(x, yerr)
+    assert gp_h.solver.matrix_free
+    g_h = gp_h.grad_log_likelihood(y)
+
+    gp_e = GP(0.9 * kernels.ExpSquaredKernel(1.5))
+    gp_e.compute(x, yerr)
+    g_e = gp_e.grad_log_likelihood(y)
+    assert np.allclose(g_h, g_e, rtol=0.2, atol=0.5)
 
 
 def test_hodlr_apply_sqrt_symmetric():
