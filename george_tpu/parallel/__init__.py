@@ -126,7 +126,12 @@ def sharded_predict(mesh, gp, y, t, return_var=True):
 
     pair = gp.kernel.pair_fn
     theta = jnp.asarray(gp.kernel.parameter_vector)
-    L = jnp.asarray(gp.solver._L)  # exact path
+    if getattr(gp.solver, "_L", None) is None:
+        raise NotImplementedError(
+            "sharded_predict currently requires the exact (BasicSolver) "
+            "path; hierarchical/sparse solvers predict via gp.predict"
+        )
+    L = jnp.asarray(gp.solver._L)
 
     def predict_block(tblk):
         Kxs = jax.vmap(
