@@ -870,6 +870,13 @@ class HODLRSolver(object):
     def get_inverse(self):
         return self.apply_inverse(np.eye(self._struct.n))
 
+    def get_full(self, i=0):
+        """Dense reconstruction of the compressed operator ``K_bar + diag``
+        (``i == 0``) or ``dK_bar/dtheta_{i-1}`` — debug parity with the
+        reference's ``get_full`` (``_hodlr.cpp:402-415``). O(N^2) memory;
+        for inspection at small N only."""
+        return self.apply_forward(np.eye(self._struct.n), i=i)
+
     def grad_log_likelihood(self, gp, x, alpha, unfrozen_mask):
         """Matrix-free GP gradient (``grad_mode='hutchinson'``): exact
         quadratic terms, Hutchinson-estimated traces (reference Regime B,
