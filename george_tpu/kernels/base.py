@@ -492,23 +492,26 @@ class StationaryKernel(Kernel):
         value_fn = self._value_fn
         blocked = bool(self.blocked)
         if blocked:
-            aidx = jnp.asarray(np.asarray(self.axes, dtype=np.int32))
-            bmin = jnp.asarray(self.min_block)
-            bmax = jnp.asarray(self.max_block)
+            # static per-axis bounds (python floats): no captured constant
+            # arrays, Pallas-compatible (see ops/assemble.py)
+            axes_s = tuple(int(a) for a in self.axes)
+            bounds_s = tuple(
+                (float(lo), float(hi))
+                for lo, hi in zip(self.min_block, self.max_block)
+            )
 
         def pair(theta, x1, x2):
             base = tuple(theta[i] for i in range(nb))
             r2 = r2_fn(theta[nb:], x1, x2)
             val = value_fn(r2, *base, *consts)
             if blocked:
-                x1a = x1[aidx]
-                x2a = x2[aidx]
-                inside = jnp.all(
-                    (x1a >= bmin)
-                    & (x1a <= bmax)
-                    & (x2a >= bmin)
-                    & (x2a <= bmax)
-                )
+                inside = jnp.bool_(True)
+                for a, (lo, hi) in zip(axes_s, bounds_s):
+                    inside = (
+                        inside
+                        & (x1[a] >= lo) & (x1[a] <= hi)
+                        & (x2[a] >= lo) & (x2[a] <= hi)
+                    )
                 val = jnp.where(inside, val, 0.0)
             return val
 

@@ -190,24 +190,31 @@ def metric_r2_fn(metric_type, axes, ndim):
     """
     axes = tuple(int(a) for a in axes)
     naxes = len(axes)
-    idx = jnp.asarray(axes, dtype=jnp.int32)
+
+    # Static per-axis indexing (not a gathered index array): XLA emits
+    # plain slices, and the pair function stays free of captured constant
+    # arrays so it can run inside Pallas kernels (ops/assemble.py).
+    def _diff(x1, x2):
+        if axes == tuple(range(x1.shape[0])):
+            return x1 - x2
+        return jnp.stack([x1[a] - x2[a] for a in axes])
 
     if metric_type == 0:
 
         def r2(theta, x1, x2):
-            d = x1[idx] - x2[idx]
+            d = _diff(x1, x2)
             return jnp.sum(d * d) * jnp.exp(-theta[0])
 
     elif metric_type == 1:
 
         def r2(theta, x1, x2):
-            d = x1[idx] - x2[idx]
+            d = _diff(x1, x2)
             return jnp.sum(d * d * jnp.exp(-theta))
 
     elif metric_type == 2:
 
         def r2(theta, x1, x2):
-            d = x1[idx] - x2[idx]
+            d = _diff(x1, x2)
             L = unpack_cholesky(theta, naxes)
             z = solve_triangular(L, d, lower=True)
             return jnp.sum(z * z)
