@@ -1,0 +1,73 @@
+# -*- coding: utf-8 -*-
+"""Hyperparameter inference example (the reference's
+``docs/tutorials/hyper.rst``): maximum likelihood, ensemble MCMC (the
+emcee pattern), NUTS, and variational inference on the same posterior.
+
+Run on CPU: ``python examples/hyper.py``
+"""
+
+import numpy as np
+
+import jax
+
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)
+
+from george_tpu import GP, kernels
+from george_tpu.sampling import (
+    minimize, EnsembleSampler, sample_nuts, ADVI,
+)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    x = np.sort(rng.uniform(0, 10, 80))
+    yerr = 0.1
+    y = np.sin(x) * np.exp(-0.1 * x) + yerr * rng.standard_normal(80)
+
+    gp = GP(np.var(y) * kernels.Matern52Kernel(1.0))
+    gp.compute(x, yerr)
+
+    # --- maximum likelihood ---------------------------------------------
+    minimize(gp, y)
+    print("MAP parameters:", gp.get_parameter_vector())
+
+    # the pure, traced posterior surface every engine consumes
+    log_prob = gp.log_prob_fn(x, y, yerr, gate_prior=False)
+    ndim = len(gp)
+    p0 = gp.get_parameter_vector()[None, :]
+
+    # --- ensemble MCMC (emcee pattern, fused) ---------------------------
+    nw = 32
+    sampler = EnsembleSampler(nw, ndim, log_prob)
+    sampler.run_mcmc(
+        p0 + 1e-3 * rng.standard_normal((nw, ndim)), 800, seed=0
+    )
+    flat_ens = sampler.flatchain[nw * 400:]
+    print("ensemble posterior mean:", flat_ens.mean(axis=0),
+          "sd:", flat_ens.std(axis=0))
+
+    # --- NUTS ------------------------------------------------------------
+    samples, stats = sample_nuts(
+        jax.random.PRNGKey(1), log_prob,
+        p0 + 1e-3 * rng.standard_normal((8, ndim)),
+        num_warmup=400, num_samples=500,
+    )
+    flat_nuts = np.asarray(samples).reshape(-1, ndim)
+    print("NUTS posterior mean:    ", flat_nuts.mean(axis=0),
+          "sd:", flat_nuts.std(axis=0),
+          "accept: %.2f" % float(np.mean(stats["accept"])))
+
+    # --- variational -----------------------------------------------------
+    advi = ADVI(log_prob, num_steps=1500)
+    mu, sigma = advi.fit(gp.get_parameter_vector(), seed=2)
+    print("ADVI posterior mean:    ", mu, "sd:", sigma)
+
+    # the three engines agree on the posterior location
+    assert np.allclose(flat_ens.mean(0), flat_nuts.mean(0), atol=0.2)
+    assert np.allclose(mu, flat_nuts.mean(0), atol=0.6)  # mean-field VI bias
+    print("all inference engines agree")
+
+
+if __name__ == "__main__":
+    main()
