@@ -21,6 +21,7 @@ def main():
     parser.add_argument("--warmup", type=int, default=200)
     parser.add_argument("--samples", type=int, default=200)
     parser.add_argument("--max-depth", type=int, default=8)
+    parser.add_argument("--segment", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -59,7 +60,7 @@ def main():
     samples, stats = sample_nuts(
         jax.random.PRNGKey(0), log_prob, jnp.asarray(p0),
         num_warmup=args.warmup, num_samples=args.samples,
-        max_depth=args.max_depth,
+        max_depth=args.max_depth, segment_size=args.segment,
     )
     jax.block_until_ready(samples)
     total = time.perf_counter() - t0
@@ -69,7 +70,7 @@ def main():
     samples, stats = sample_nuts(
         jax.random.PRNGKey(1), log_prob, jnp.asarray(p0),
         num_warmup=args.warmup, num_samples=args.samples,
-        max_depth=args.max_depth,
+        max_depth=args.max_depth, segment_size=args.segment,
     )
     jax.block_until_ready(samples)
     timed = time.perf_counter() - t0

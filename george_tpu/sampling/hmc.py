@@ -373,23 +373,7 @@ def _make_value_and_grad(log_prob_fn):
     return value_and_grad
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "log_prob_fn", "num_warmup", "num_samples", "algorithm",
-        "num_leapfrog", "max_depth", "target_accept",
-    ),
-)
-def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
-            algorithm="nuts", num_leapfrog=32, max_depth=10,
-            target_accept=0.8):
-    """Fused warmup + sampling. ``p0``: (chains, dim)."""
-    nchains, dim = p0.shape
-    dtype = p0.dtype
-    value_and_grad = _make_value_and_grad(log_prob_fn)
-
-    lp0, g0 = jax.vmap(value_and_grad)(p0)
-
+def _make_transition(value_and_grad, algorithm, num_leapfrog, max_depth):
     if algorithm == "nuts":
         def transition(keys, qs, lps, gs, eps, inv_mass):
             q, lp, g, acc, depth, div = jax.vmap(
@@ -408,17 +392,25 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
                 )
             )(keys, qs, lps, gs)
             return q, lp, g, acc, {}
+    return transition
 
-    sched = WarmupSchedule(num_warmup)
-    in_slow = jnp.asarray(sched.in_slow)
-    window_end = jnp.asarray(sched.window_end)
 
-    da = _dual_averaging_init(0.1, dtype)
-    inv_mass0 = jnp.ones(dim, dtype)
-    welford = (
-        jnp.zeros((), dtype),            # count
-        jnp.zeros(dim, dtype),           # mean
-        jnp.zeros(dim, dtype),           # m2
+@partial(
+    jax.jit,
+    static_argnames=("log_prob_fn", "algorithm", "num_leapfrog",
+                     "max_depth", "target_accept"),
+)
+def _warmup_chunk(step_keys, carry, in_slow, window_end, log_prob_fn,
+                  algorithm, num_leapfrog, max_depth, target_accept):
+    """A bounded scan of warmup iterations; adaptation state threads
+    through ``carry`` so warmup can be split into arbitrary segments
+    (per-step keys come from the caller, so segmentation never changes
+    the random stream)."""
+    q0, _, _, _, _, _ = carry
+    nchains = q0.shape[0]
+    value_and_grad = _make_value_and_grad(log_prob_fn)
+    transition = _make_transition(
+        value_and_grad, algorithm, num_leapfrog, max_depth
     )
 
     def warm_body(carry, inputs):
@@ -449,7 +441,9 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
         cnt, mean, m2 = welford
         var = m2 / jnp.maximum(cnt - 1.0, 1.0) + 1e-5
         inv_mass = jnp.where(wend, var, inv_mass)
-        da_reset = _dual_averaging_init(jnp.exp(da["log_eps"]), dtype)
+        da_reset = _dual_averaging_init(
+            jnp.exp(da["log_eps"]), q.dtype
+        )
         da = jax.tree_util.tree_map(
             lambda r, cur: jnp.where(wend, r, cur), da_reset, da
         )
@@ -458,31 +452,109 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
         )
         return (q, lp, g, da, inv_mass, welford), acc
 
-    keys = jax.random.split(key, num_warmup + num_samples + 1)
-    warm_keys = keys[:num_warmup]
-    (q, lp, g, da, inv_mass, _), warm_acc = jax.lax.scan(
-        warm_body,
-        (p0, lp0, g0, da, inv_mass0, welford),
-        (warm_keys, in_slow, window_end),
+    return jax.lax.scan(
+        warm_body, carry, (step_keys, in_slow, window_end)
     )
-    eps_final = jnp.exp(da["log_eps_avg"])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("log_prob_fn", "algorithm",
+                     "num_leapfrog", "max_depth"),
+)
+def _sample_chunk(step_keys, q, lp, g, eps, inv_mass, log_prob_fn,
+                  algorithm, num_leapfrog, max_depth):
+    """A bounded scan of posterior draws with fixed tuning."""
+    nchains = q.shape[0]
+    value_and_grad = _make_value_and_grad(log_prob_fn)
+    transition = _make_transition(
+        value_and_grad, algorithm, num_leapfrog, max_depth
+    )
 
     def sample_body(carry, key):
         q, lp, g = carry
         ks = jax.random.split(key, nchains)
-        q, lp, g, acc, extras = transition(ks, q, lp, g, eps_final,
-                                           inv_mass)
+        q, lp, g, acc, extras = transition(ks, q, lp, g, eps, inv_mass)
         out = {"q": q, "logp": lp, "accept": acc}
         out.update(extras)
         return (q, lp, g), out
 
-    _, chain = jax.lax.scan(
-        sample_body, (q, lp, g), keys[num_warmup:num_warmup + num_samples]
+    return jax.lax.scan(sample_body, (q, lp, g), step_keys)
+
+
+def _segments(total, size):
+    if not total:
+        return []
+    if size is None or size >= total:
+        return [(0, total)]
+    out = []
+    start = 0
+    while start < total:
+        out.append((start, min(start + size, total)))
+        start += size
+    return out
+
+
+def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
+            algorithm="nuts", num_leapfrog=32, max_depth=10,
+            target_accept=0.8, segment_size=None):
+    """Warmup + sampling driver. ``p0``: (chains, dim).
+
+    With ``segment_size=None`` the whole run is two device programs
+    (warmup scan + sampling scan). A finite ``segment_size`` splits both
+    into bounded chunks with the adaptation state threaded through the
+    host — for runtimes that cap single-program execution time, and for
+    periodic checkpointing of long runs (``george_tpu.checkpoint``).
+    """
+    nchains, dim = p0.shape
+    dtype = p0.dtype
+    value_and_grad = _make_value_and_grad(log_prob_fn)
+    lp0, g0 = jax.vmap(value_and_grad)(p0)
+
+    sched = WarmupSchedule(num_warmup)
+    in_slow = jnp.asarray(sched.in_slow)
+    window_end = jnp.asarray(sched.window_end)
+
+    carry = (
+        p0, lp0, g0,
+        _dual_averaging_init(0.1, dtype),
+        jnp.ones(dim, dtype),
+        (
+            jnp.zeros((), dtype),        # Welford count
+            jnp.zeros(dim, dtype),       # mean
+            jnp.zeros(dim, dtype),       # m2
+        ),
     )
+
+    keys = jax.random.split(key, num_warmup + num_samples)
+    warm_accs = []
+    for (a, b) in _segments(num_warmup, segment_size):
+        carry, acc = _warmup_chunk(
+            keys[a:b], carry, in_slow[a:b], window_end[a:b],
+            log_prob_fn, algorithm, num_leapfrog, max_depth,
+            target_accept,
+        )
+        warm_accs.append(acc)
+    q, lp, g, da, inv_mass, _ = carry
+    eps_final = jnp.exp(da["log_eps_avg"])
+
+    chains = []
+    for (a, b) in _segments(num_samples, segment_size):
+        (q, lp, g), chunk = _sample_chunk(
+            keys[num_warmup + a:num_warmup + b], q, lp, g,
+            eps_final, inv_mass,
+            log_prob_fn, algorithm, num_leapfrog, max_depth,
+        )
+        chains.append(chunk)
+    chain = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *chains
+    )
+
     stats = {
         "step_size": eps_final,
         "inv_mass": inv_mass,
-        "warmup_accept": warm_acc,
+        "warmup_accept": jnp.concatenate(warm_accs, axis=0)
+        if warm_accs else jnp.zeros((0, nchains), dtype),
         "accept": chain["accept"],
         "logp": chain["logp"],
     }
@@ -493,23 +565,25 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
 
 
 def sample_nuts(key, log_prob_fn, p0, num_warmup=500, num_samples=500,
-                max_depth=10, target_accept=0.8):
+                max_depth=10, target_accept=0.8, segment_size=None):
     """NUTS over vmapped chains. ``p0``: ``(chains, dim)``. Returns
     ``(samples (num_samples, chains, dim), stats)``."""
     return _sample(
         key, jnp.asarray(p0), log_prob_fn, int(num_warmup),
         int(num_samples), algorithm="nuts", max_depth=int(max_depth),
         target_accept=float(target_accept),
+        segment_size=segment_size,
     )
 
 
 def sample_hmc(key, log_prob_fn, p0, num_warmup=500, num_samples=500,
-               num_leapfrog=32, target_accept=0.8):
+               num_leapfrog=32, target_accept=0.8, segment_size=None):
     """Fixed-length HMC over vmapped chains."""
     return _sample(
         key, jnp.asarray(p0), log_prob_fn, int(num_warmup),
         int(num_samples), algorithm="hmc", num_leapfrog=int(num_leapfrog),
         target_accept=float(target_accept),
+        segment_size=segment_size,
     )
 
 
