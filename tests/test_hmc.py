@@ -85,3 +85,37 @@ def test_nuts_gp_posterior_smoke():
     # posterior concentrated but not collapsed
     assert np.all(flat.std(0) > 1e-3)
     assert np.all(flat.std(0) < 5.0)
+
+
+def test_nuts_vs_ensemble_gp_posterior_moments():
+    """Cross-engine statistical parity on a GP hyperparameter posterior:
+    NUTS and the ensemble sampler agree on moments within MC error — the
+    BASELINE config #4 pattern (sampled posterior vs the reference's emcee
+    pipeline) checked engine-vs-engine."""
+    from george_tpu.sampling import EnsembleSampler
+
+    rng = np.random.default_rng(11)
+    x = np.sort(rng.uniform(0, 10, 60))
+    y = np.sin(x) + 0.1 * rng.standard_normal(60)
+    gp = GP(0.5 * kernels.ExpSquaredKernel(1.0))
+    gp.compute(x, 0.1)
+    log_prob = gp.log_prob_fn(x, y, 0.1, gate_prior=False)
+    ndim = len(gp)
+    p0 = gp.get_parameter_vector()
+
+    samples, _ = sample_nuts(
+        jax.random.PRNGKey(0), log_prob,
+        p0[None, :] + 1e-2 * rng.standard_normal((6, ndim)),
+        num_warmup=300, num_samples=500, max_depth=8,
+    )
+    flat_nuts = np.asarray(samples).reshape(-1, ndim)
+
+    nw = 32
+    sampler = EnsembleSampler(nw, ndim, log_prob)
+    sampler.run_mcmc(
+        p0[None, :] + 1e-2 * rng.standard_normal((nw, ndim)), 1200, seed=1
+    )
+    flat_ens = sampler.flatchain[nw * 600:]
+
+    assert np.allclose(flat_nuts.mean(0), flat_ens.mean(0), atol=0.15)
+    assert np.allclose(flat_nuts.std(0), flat_ens.std(0), rtol=0.35)
