@@ -76,11 +76,12 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = np.float32 if on_tpu else np.float64
 
-    # m=256/r=32 won the single-chip config sweep (compile time, accuracy,
-    # throughput); above ~3e5 points smaller leaves keep the batched leaf
-    # Cholesky (and its autodiff temps) inside HBM.
+    # min_size=256/rank=24 won the single-chip config sweep (throughput at
+    # <=1e-4 relative accuracy vs high-rank f64); above ~3e5 points smaller
+    # leaves keep the batched leaf Cholesky (and its autodiff temps) inside
+    # HBM.
     min_size = 256 if n <= 300_000 else 128
-    st = build_structure(n, min_size=min_size, rank=32, seed=42, x_sorted=x)
+    st = build_structure(n, min_size=min_size, rank=24, seed=42, x_sorted=x)
     xpad = np.concatenate(
         [x, np.repeat(x[-1:], st.n_pad - n, axis=0)]
     ).astype(dtype)

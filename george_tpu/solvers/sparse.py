@@ -174,7 +174,8 @@ class SparseSolver(object):
     matrix_free = True
 
     def __init__(self, kernel, radius=None, cg_tol=1e-10, maxiter=1000,
-                 num_probes=16, num_steps=30, seed=42, **kwargs):
+                 num_probes=16, num_steps=30, seed=42, mesh=None,
+                 shard_axis="data", **kwargs):
         self.kernel = kernel
         self.radius = radius
         self.cg_tol = float(cg_tol)
@@ -182,6 +183,13 @@ class SparseSolver(object):
         self.num_probes = int(num_probes)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
+        # Optional row sharding over a device mesh: the ELL tables and all
+        # row vectors are placed sharded, and XLA inserts the collectives
+        # (all-gather for the neighbor gathers, psum for CG dot products)
+        # — the TPU-native replacement for the reference's MPI SuperLU_DIST
+        # distribution (SURVEY.md §2.5).
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self.computed = False
         self.log_determinant = None
         self._x = None
@@ -203,12 +211,45 @@ class SparseSolver(object):
             nbr_idx, row_ptr = nns
         else:
             nbr_idx, row_ptr = radius_neighbors_csr(x, float(radius))
-        self._nbr, self._mask = map(
-            jnp.asarray, ell_from_csr(nbr_idx, row_ptr)
-        )
-        self._x = jnp.asarray(x)
-        self._diag = jnp.asarray(yerr2)
+        nbr_np, mask_np = ell_from_csr(nbr_idx, row_ptr)
         self.nnz = int(row_ptr[-1])
+        self._pad_rows = 0
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = int(np.prod(list(self.mesh.shape.values())))
+            pad = (-n) % ndev
+            self._pad_rows = pad
+            if pad:
+                # padded rows: self-neighbor only, zero mask, unit diag
+                nbr_np = np.concatenate(
+                    [nbr_np,
+                     np.zeros((pad, nbr_np.shape[1]), nbr_np.dtype)]
+                )
+                mask_np = np.concatenate(
+                    [mask_np,
+                     np.zeros((pad, mask_np.shape[1]), bool)]
+                )
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                yerr2 = np.concatenate([yerr2, np.ones(pad)])
+            row_shard = NamedSharding(
+                self.mesh, P(self.shard_axis, None)
+            )
+            vec_shard = NamedSharding(self.mesh, P(self.shard_axis))
+            self._nbr = jax.device_put(jnp.asarray(nbr_np), row_shard)
+            self._mask = jax.device_put(jnp.asarray(mask_np), row_shard)
+            # coordinates replicate (every device gathers arbitrary rows)
+            self._x = jax.device_put(
+                jnp.asarray(x), NamedSharding(self.mesh, P(None, None))
+            )
+            self._diag = jax.device_put(jnp.asarray(yerr2), vec_shard)
+            self._vec_shard = vec_shard
+        else:
+            self._nbr = jnp.asarray(nbr_np)
+            self._mask = jnp.asarray(mask_np)
+            self._x = jnp.asarray(x)
+            self._diag = jnp.asarray(yerr2)
+        n = n + self._pad_rows
 
         pair = self.kernel.pair_fn
         nbr, mask, diag = self._nbr, self._mask, self._diag
@@ -247,25 +288,40 @@ class SparseSolver(object):
 
     # -- protocol ----------------------------------------------------------
 
-    def apply_inverse(self, y, in_place=False):
+    def _pad(self, y):
         y = jnp.asarray(np.asarray(y, dtype=np.float64))
-        z, _ = self._solve(self._theta, y)
-        return np.asarray(z)
+        if self._pad_rows:
+            widths = ((0, self._pad_rows),) + ((0, 0),) * (y.ndim - 1)
+            y = jnp.pad(y, widths)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(self.shard_axis, *([None] * (y.ndim - 1)))
+            y = jax.device_put(y, NamedSharding(self.mesh, spec))
+        return y
+
+    def _unpad(self, z):
+        z = np.asarray(z)
+        return z[: len(z) - self._pad_rows] if self._pad_rows else z
+
+    def apply_inverse(self, y, in_place=False):
+        z, _ = self._solve(self._theta, self._pad(y))
+        return self._unpad(z)
 
     def dot_solve(self, y):
-        y = jnp.asarray(np.asarray(y, dtype=np.float64))
+        y = self._pad(y)
         z, _ = self._solve(self._theta, y)
         return float(jnp.dot(y, z))
 
     def apply_forward(self, y, i=0):
-        y = jnp.asarray(np.asarray(y, dtype=np.float64))
+        y = self._pad(y)
         if i == 0:
-            return np.asarray(self._mv(self._theta, y))
+            return self._unpad(self._mv(self._theta, y))
         tangent = jnp.zeros_like(self._theta).at[i - 1].set(1.0)
         _, Z = jax.jvp(
             lambda th: self._mv(th, y), (self._theta,), (tangent,)
         )
-        return np.asarray(Z)
+        return self._unpad(Z)
 
     def get_inverse(self):
         n = self._x.shape[0]
@@ -284,25 +340,31 @@ class SparseSolver(object):
         Returns the gradient over the *active* GP parameter vector (mean,
         white-noise, kernel blocks), matching ``GP.grad_log_likelihood``.
         """
-        alpha = jnp.asarray(alpha)
+        alpha = jnp.asarray(np.asarray(alpha))
         theta = self._theta
         nparam = int(theta.shape[0])
         key = jax.random.PRNGKey(self.seed + 1)
-        probes = jax.random.rademacher(
-            key, (self.num_probes, alpha.shape[0]), dtype=alpha.dtype
-        )
+        probes = self._pad(
+            np.asarray(
+                jax.random.rademacher(
+                    key, (self.num_probes, alpha.shape[0]),
+                    dtype=alpha.dtype,
+                )
+            ).T
+        )                                             # (n_pad, num_probes)
+        alpha_p = self._pad(alpha)
         # Solve K^{-1} u for all probes at once (multi-RHS CG).
-        Kinv_u, _ = self._solve(theta, probes.T)      # (n, num_probes)
+        Kinv_u, _ = self._solve(theta, probes)
 
         grads = np.zeros(nparam)
         for k in range(nparam):
             tangent = jnp.zeros_like(theta).at[k].set(1.0)
             _, dK_alpha = jax.jvp(
-                lambda th: self._mv(th, alpha), (theta,), (tangent,)
+                lambda th: self._mv(th, alpha_p), (theta,), (tangent,)
             )
-            alpha_term = 0.5 * float(jnp.dot(alpha, dK_alpha))
+            alpha_term = 0.5 * float(jnp.dot(alpha_p, dK_alpha))
             _, dK_u = jax.jvp(
-                lambda th: self._mv(th, probes.T), (theta,), (tangent,)
+                lambda th: self._mv(th, probes), (theta,), (tangent,)
             )
             # d(diag)/dtheta = 0, so the jvp is exactly (dK/dtheta_k) u
             trace_est = float(
@@ -323,9 +385,7 @@ class SparseSolver(object):
             wng = gp._call_white_noise_gradient(np.asarray(x))
             # diag(A) = alpha^2 - diag(K^{-1}); estimate diag(K^{-1}) by
             # Hutchinson with the same probes
-            diag_Kinv = np.asarray(
-                jnp.mean(probes.T * Kinv_u, axis=1)
-            )
+            diag_Kinv = self._unpad(jnp.mean(probes * Kinv_u, axis=1))
             diag_A = np.asarray(alpha) ** 2 - diag_Kinv
             wn_g = list(
                 0.5 * np.sum((np.exp(wn) * diag_A)[None, :] * wng, axis=1)
