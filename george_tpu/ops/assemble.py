@@ -35,7 +35,7 @@ def xla_gram(pair_fn, theta, x1, x2):
 @functools.partial(
     jax.jit, static_argnames=("pair_fn", "tile_m", "tile_n", "interpret")
 )
-def pallas_gram(pair_fn, theta, x1, x2, tile_m=256, tile_n=256,
+def pallas_gram(pair_fn, theta, x1, x2, tile_m=128, tile_n=128,
                 interpret=False):
     """Tiled Pallas assembly. ``x1`` (M, d), ``x2`` (N, d) -> (M, N).
 
@@ -76,6 +76,15 @@ def pallas_gram(pair_fn, theta, x1, x2, tile_m=256, tile_n=256,
         pl.BlockSpec(np.shape(cst), lambda i, j: (0,) * np.ndim(cst))
         for cst in consts
     ]
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # composite kernels keep many live tile temporaries; raise the
+        # scoped-VMEM ceiling above the 16 MB default
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x1.dtype),
@@ -87,18 +96,23 @@ def pallas_gram(pair_fn, theta, x1, x2, tile_m=256, tile_n=256,
         ] + const_specs,
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j)),
         interpret=interpret,
+        **kwargs,
     )(theta, x1p, x2p, *consts)
     return out[:M, :N]
 
 
-def gram(pair_fn, theta, x1, x2, tile=256):
-    """Covariance block with the best backend for the current platform."""
-    if jax.default_backend() == "tpu" and x1.shape[0] * x2.shape[0] >= (
-        tile * tile
-    ):
-        try:
-            return pallas_gram(pair_fn, theta, x1, x2,
-                               tile_m=tile, tile_n=tile)
-        except Exception:
-            pass
+def gram(pair_fn, theta, x1, x2, tile=128, force_pallas=False):
+    """Covariance block assembly.
+
+    Measured head-to-head on a v5e chip (n=8192): XLA's fused vmapped
+    path runs at ~5 ms for d=8 while this Pallas formulation (scalar pair
+    function vectorized by Mosaic) takes ~120 ms — Mosaic keeps many live
+    tile temporaries and the coordinate layout wastes lanes. The XLA path
+    is therefore the default; the Pallas kernel stays as the verified
+    scaffold for a tile-wise reformulation (coordinates in (d, tile)
+    layout, kernel expression written on whole tiles).
+    """
+    if force_pallas:
+        return pallas_gram(pair_fn, theta, x1, x2,
+                           tile_m=tile, tile_n=tile)
     return xla_gram(pair_fn, theta, x1, x2)
