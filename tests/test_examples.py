@@ -22,3 +22,12 @@ def test_scaling_example():
         runpy.run_path("examples/scaling.py", run_name="__main__")
     finally:
         sys.argv = argv
+
+
+def test_multioutput_example():
+    argv = sys.argv
+    try:
+        sys.argv = ["multioutput.py"]
+        runpy.run_path("examples/multioutput.py", run_name="__main__")
+    finally:
+        sys.argv = argv
