@@ -55,7 +55,11 @@ def main():
     except Exception:
         pass
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    if len(sys.argv) > 1:
+        n = int(sys.argv[1])
+    else:
+        # headline N on an accelerator; a tractable size on CPU-only hosts
+        n = 100_000 if jax.default_backend() != "cpu" else 20_000
 
     from george_tpu import kernels
     from george_tpu.solvers.hodlr import (
@@ -74,7 +78,8 @@ def main():
         kernels.Matern32Kernel(8.0)
     )
     on_tpu = jax.devices()[0].platform != "cpu"
-    dtype = np.float32 if on_tpu else np.float64
+    use_f64 = (not on_tpu) and jax.config.jax_enable_x64
+    dtype = np.float64 if use_f64 else np.float32
 
     # min_size=256/rank=24 won the single-chip config sweep (throughput at
     # <=1e-4 relative accuracy vs high-rank f64); above ~3e5 points smaller
