@@ -81,12 +81,12 @@ def main():
     use_f64 = (not on_tpu) and jax.config.jax_enable_x64
     dtype = np.float64 if use_f64 else np.float32
 
-    # min_size=256/rank=24 won the single-chip config sweep (throughput at
-    # <=1e-4 relative accuracy vs high-rank f64); above ~3e5 points smaller
+    # min_size=256/rank=16 won the single-chip config sweep (throughput at
+    # ~7e-5 relative accuracy vs high-rank f64 on this workload); above ~3e5
     # leaves keep the batched leaf Cholesky (and its autodiff temps) inside
     # HBM.
     min_size = 256 if n <= 300_000 else 128
-    st = build_structure(n, min_size=min_size, rank=24, seed=42, x_sorted=x)
+    st = build_structure(n, min_size=min_size, rank=16, seed=42, x_sorted=x)
     xpad = np.concatenate(
         [x, np.repeat(x[-1:], st.n_pad - n, axis=0)]
     ).astype(dtype)
