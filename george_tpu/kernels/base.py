@@ -230,7 +230,11 @@ class Kernel(ModelSet):
             if diag:
                 return np.array(self._eval("diag")(th, x1, x1))
             if nns is not None:
-                return self._get_value_sparse(x1)
+                return self._get_value_sparse(
+                    x1,
+                    nns if isinstance(nns, tuple) and len(nns) == 2
+                    else None,
+                )
             return np.array(self._eval("gram")(th, x1, x1))
         x2 = self.parse_points(x2)
         if diag:
@@ -245,10 +249,16 @@ class Kernel(ModelSet):
         self.nns_saved = (nbr_idx, row_ptr)
         return nbr_idx, row_ptr
 
-    def _get_value_sparse(self, x):
+    def _get_value_sparse(self, x, nns=None):
+        """CSR covariance; ``nns`` may carry a precomputed
+        ``(nbr_idx, row_ptr)`` structure (the fork's nns argument)."""
         from scipy.sparse import csr_matrix
 
-        nbr_idx, row_ptr = self._neighbor_csr(x)
+        if nns is not None:
+            nbr_idx, row_ptr = nns
+            self.nns_saved = nns
+        else:
+            nbr_idx, row_ptr = self._neighbor_csr(x)
         counts = np.diff(row_ptr)
         rows = np.repeat(np.arange(len(x)), counts)
         vals = np.asarray(

@@ -23,8 +23,9 @@ __all__ = ["BasicSolver"]
 class BasicSolver(object):
     """Dense exact solver with a Cholesky factorization of ``K + diag``."""
 
-    def __init__(self, kernel, **kwargs):
+    def __init__(self, kernel, verbose=False, **kwargs):
         self.kernel = kernel
+        self.verbose = bool(verbose)
         self.computed = False
         self.log_determinant = None
         self._L = None
@@ -52,7 +53,12 @@ class BasicSolver(object):
         self._x = jnp.asarray(x)
         self._yerr2 = jnp.asarray(yerr2)
         theta = jnp.asarray(self.kernel.parameter_vector)
-        L, logdet = self._factor_fn(theta, self._x, jnp.asarray(yerr2))
+        from ..diagnostics import timer
+
+        with timer("basic.compute", verbose=self.verbose) as tm:
+            L, logdet = tm.sync(
+                self._factor_fn(theta, self._x, jnp.asarray(yerr2))
+            )
         if not bool(jnp.all(jnp.isfinite(jnp.diagonal(L)))):
             raise np.linalg.LinAlgError(
                 "covariance matrix is not positive definite"
