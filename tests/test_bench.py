@@ -1,0 +1,35 @@
+# -*- coding: utf-8 -*-
+"""Driver contract: bench.py prints exactly one valid JSON line and the
+graft entry points stay importable."""
+
+import io
+import json
+import runpy
+import sys
+from contextlib import redirect_stdout
+
+
+def test_bench_emits_json_line():
+    argv = sys.argv
+    buf = io.StringIO()
+    try:
+        sys.argv = ["bench.py", "2000"]
+        with redirect_stdout(buf):
+            runpy.run_path("bench.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    record = json.loads(lines[0])
+    assert set(record) == {"metric", "value", "unit", "vs_baseline"}
+    assert record["value"] > 0
+    assert record["unit"] == "evals/s"
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    assert callable(fn)
+    assert isinstance(args, tuple)
+    assert callable(g.dryrun_multichip)
