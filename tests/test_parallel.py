@@ -92,3 +92,35 @@ def test_shard_chains_placement():
         ),
         ndim=2,
     )
+
+
+@needs_devices
+def test_hodlr_mesh_sharded_gp():
+    """The hierarchical solver distributes by input sharding alone: GSPMD
+    partitions the level-batched factorization over a row-sharded mesh and
+    the full GP (likelihood, gradient, prediction) matches the unsharded
+    run — the multi-chip large-N configuration (BASELINE config #5 shape)."""
+    from george_tpu import HODLRSolver
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    x = np.sort(rng.uniform(0, 60, n))
+    y = np.sin(0.5 * x) + 0.3 * rng.standard_normal(n)
+
+    gp0 = GP(1.0 * kernels.ExpSquaredKernel(4.0), solver=HODLRSolver,
+             min_size=64, rank=24)
+    gp0.compute(x, 0.3)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    gp1 = GP(1.0 * kernels.ExpSquaredKernel(4.0), solver=HODLRSolver,
+             min_size=64, rank=24, mesh=mesh)
+    gp1.compute(x, 0.3)
+
+    assert abs(gp0.log_likelihood(y) - gp1.log_likelihood(y)) < 1e-6
+    assert np.allclose(
+        gp0.grad_log_likelihood(y), gp1.grad_log_likelihood(y), atol=1e-6
+    )
+    t = np.linspace(0, 60, 50)
+    mu0, v0 = gp0.predict(y, t, return_var=True)
+    mu1, v1 = gp1.predict(y, t, return_var=True)
+    assert np.allclose(mu0, mu1, atol=1e-8)
+    assert np.allclose(v0, v1, atol=1e-8)
