@@ -76,6 +76,9 @@ class HODLRStructure(object):
         # a uniform skeleton rank across levels lets the entry assembly
         # and interpolation solves batch over ALL levels at once
         self.rank = min(int(rank), self.m)
+        # rematerialize reverse-mode intermediates only when they would
+        # threaten HBM; smaller problems skip the backward recompute
+        self.remat = self.n > 300_000
         rank = self.rank
         self.levels = []
         rng = np.random.default_rng(seed)
@@ -185,17 +188,19 @@ def build_structure(n, min_size=64, rank=32, seed=42, x_sorted=None):
 # Functional core (pure, jittable, differentiable)
 # ---------------------------------------------------------------------------
 
-def _block_matrix(pair_fn, theta, xa, va, xb, vb):
+def _block_matrix(pair_fn, theta, xa, va, xb, vb, remat=True):
     """Masked kernel block ``K[i, j] = k(xa[i], xb[j])`` (0 where either
-    point is padding). Rematerialized in reverse mode: block assembly is
-    cheap to recompute and its residuals dominate memory at large N."""
+    point is padding). With ``remat`` the assembly recomputes in reverse
+    mode — its residuals dominate memory at large N; smaller problems
+    skip the recompute."""
 
-    @jax.checkpoint
     def assemble(theta, xa, xb):
         return jax.vmap(
             lambda a: jax.vmap(lambda b: pair_fn(theta, a, b))(xb)
         )(xa)
 
+    if remat:
+        assemble = jax.checkpoint(assemble)
     K = assemble(theta, xa, xb)
     return jnp.where(va[:, None] & vb[None, :], K, 0.0)
 
@@ -231,9 +236,10 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     xI, vI = xpad[rp], valid[rp]                # (P, c, d), (P, c)
     xJ, vJ = xpad[cp], valid[cp]
 
+    remat = struct.remat
     blk = jax.vmap(
         lambda xa, va, xb_, vb_: _block_matrix(pair_fn, theta, xa, va,
-                                               xb_, vb_)
+                                               xb_, vb_, remat)
     )
     M = blk(xI, vI, xJ, vJ)                     # (P, c, c)
     eps = 100.0 * jnp.finfo(dtype).eps
@@ -244,11 +250,13 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     )
     G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
 
-    @jax.checkpoint
     def ev(theta, xa, xb):
         return jax.vmap(
             lambda a, B: jax.vmap(lambda b: pair_fn(theta, a, b))(B)
         )(xa, xb)
+
+    if remat:
+        ev = jax.checkpoint(ev)
 
     def rows_eval(rows, xP, vP):
         rows = jnp.asarray(rows)
@@ -296,7 +304,8 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
     Kb = jax.vmap(
-        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
+        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
+                                     struct.remat)
     )(xb, vb)
     Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
     Lleaf = jnp.linalg.cholesky(Kb)
@@ -355,7 +364,8 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
 
         if li > 0:
             X = jnp.concatenate(T[:li], axis=1)
-            X = _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X)
+            X = _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X,
+                                  struct.remat)
             if li > 1:
                 offs = list(np.cumsum([t.shape[1] for t in T[:li]]))[:-1]
                 T[:li] = list(jnp.split(X, offs, axis=1))
@@ -366,14 +376,13 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     return factors, logdet
 
 
-def _factor_apply_inv(Z, T, core_inv, p, s, c, X):
+def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True):
     """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to ``X``
     ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
-    Rematerialized: each application is a handful of einsums, so
-    recomputing in the backward pass trades negligible FLOPs for the
-    O(L^2) chain of stored intermediates at large N."""
+    With ``remat`` each application recomputes in the backward pass,
+    trading negligible FLOPs for the O(L^2) chain of stored
+    intermediates at large N."""
 
-    @jax.checkpoint
     def apply(Z, T, core_inv, X):
         k = X.shape[-1]
         Xb = X.reshape(p, 2, s, k)
@@ -389,6 +398,8 @@ def _factor_apply_inv(Z, T, core_inv, p, s, c, X):
         out = Xb - jnp.stack([dx_l, dx_r], axis=1)
         return out.reshape(X.shape)
 
+    if remat:
+        apply = jax.checkpoint(apply)
     return apply(Z, T, core_inv, X)
 
 
@@ -407,7 +418,8 @@ def hodlr_solve(factors, struct, X):
         lev = struct.levels[li]
         Z, T, core_inv = factors["levels"][li]
         X = _factor_apply_inv(
-            Z, T, core_inv, lev["p"], lev["s"], lev["c"], X
+            Z, T, core_inv, lev["p"], lev["s"], lev["c"], X,
+            struct.remat,
         )
     return X[:, 0] if squeeze else X
 
