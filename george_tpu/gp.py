@@ -387,7 +387,22 @@ class GP(ModelSet):
             raise ValueError(
                 "log_prob_fn requires traceable mean/white-noise models"
             )
-        x = jnp.asarray(self.parse_samples(x))
+        x = self.parse_samples(x)
+        if (
+            self.solver is not None
+            and self.solver.computed
+            and hasattr(self.solver, "loglike_fn")
+            and not np.array_equal(np.asarray(x), np.asarray(self._x))
+        ):
+            # The fused solver path evaluates the covariance on the points
+            # cached by compute() (sorted/padded inside the solver); a
+            # different x here would silently score the wrong dataset.
+            raise ValueError(
+                "log_prob_fn: x must match the computed inputs when the "
+                "solver provides a fused likelihood (call gp.compute(x, "
+                "...) with these points first)"
+            )
+        x = jnp.asarray(x)
         y = jnp.asarray(
             np.ascontiguousarray(np.atleast_1d(y), dtype=np.float64)
         )

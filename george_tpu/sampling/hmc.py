@@ -95,6 +95,10 @@ def _trailing_ones(x):
 
 
 def _uturn(q_left, q_right, p_left, p_right, inv_mass):
+    """Generalized U-turn criterion on trajectory-time-ordered endpoints:
+    ``q_left``/``p_left`` must be the earlier point *in trajectory time*
+    (not integration order — a backward integration visits points in
+    reverse trajectory time)."""
     dq = q_right - q_left
     return jnp.logical_or(
         jnp.dot(dq, inv_mass * p_left) < 0,
@@ -146,6 +150,7 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
             "turning": jnp.zeros((), bool),
             "diverging": jnp.zeros((), bool),
             "sum_acc": jnp.zeros((), dtype),
+            "n_exec": jnp.zeros((), dtype),
             "ckpt_q": ckpt_q, "ckpt_p": ckpt_p,
             "key": key,
         }
@@ -199,8 +204,15 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
 
                 def check(k, turning):
                     inside = jnp.logical_and(k >= lo, k <= hi)
-                    t = _uturn(
-                        ckpt_q[k], qq, ckpt_p[k], pp, inv_mass
+                    # The checkpoint precedes the current leaf in
+                    # *integration* order; in trajectory time the pair is
+                    # reversed when integrating backward, so orient the
+                    # displacement by ``direction`` (both endpoint momenta
+                    # are tested either way, so only dq's sign matters).
+                    dq = direction * (qq - ckpt_q[k])
+                    t = jnp.logical_or(
+                        jnp.dot(dq, inv_mass * ckpt_p[k]) < 0,
+                        jnp.dot(dq, inv_mass * pp) < 0,
                     )
                     return jnp.logical_or(
                         turning, jnp.logical_and(inside, t)
@@ -218,6 +230,7 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
                     "turning": jnp.logical_or(turning, st["turning"]),
                     "diverging": jnp.logical_or(diverging, st["diverging"]),
                     "sum_acc": st["sum_acc"] + acc,
+                    "n_exec": st["n_exec"] + 1.0,
                     "ckpt_q": ckpt_q, "ckpt_p": ckpt_p,
                     "key": key,
                 }
@@ -275,9 +288,6 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
             st["turning"], jnp.logical_and(ok, turning_full)
         )
 
-        n_leaf = jnp.left_shift(
-            jnp.ones((), jnp.int32), traj["depth"]
-        ).astype(dtype)
         return {
             "q_l": q_l, "p_l": p_l, "g_l": g_l, "lp_l": lp_l,
             "q_r": q_r, "p_r": p_r, "g_r": g_r, "lp_r": lp_r,
@@ -287,7 +297,7 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
             "turning": turning,
             "diverging": st["diverging"],
             "sum_acc": traj["sum_acc"] + st["sum_acc"],
-            "n_leap": traj["n_leap"] + n_leaf,
+            "n_leap": traj["n_leap"] + st["n_exec"],
             "key": key,
         }
 

@@ -743,6 +743,15 @@ class HODLRSolver(object):
     # -- setup -------------------------------------------------------------
 
     def compute(self, x, yerr=0.0, nns=None, **kwargs):
+        # Drop every derived cache: they close over the previous
+        # structure/points/hyperparameters and would silently go stale on
+        # a recompute (GP.compute re-instantiates the solver, but direct
+        # solver use must be safe too).
+        self._mv_fn = None
+        self._mv_jvp_fn = None
+        self._sym_factors = None
+        self._sqrt_fn = None
+        self._sym_theta = None
         x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
         if x.ndim == 1:
             x = x[:, None]

@@ -324,7 +324,9 @@ class SparseSolver(object):
         return self._unpad(Z)
 
     def get_inverse(self):
-        n = self._x.shape[0]
+        # self._x carries the mesh padding rows; the identity must be the
+        # *unpadded* size or the result keeps pad columns.
+        n = self._x.shape[0] - self._pad_rows
         return self.apply_inverse(np.eye(n))
 
     def apply_sqrt(self, r):

@@ -258,3 +258,21 @@ def test_predict_kernel_override_mixture_separation():
     assert np.allclose(mu1 + mu2 - mean_t, mu_full, atol=1e-8)
     # the smooth component carries most of the sine signal
     assert np.sqrt(np.mean((mu1 - np.sin(t)) ** 2)) < 0.3
+
+
+def test_log_prob_fn_rejects_mismatched_x_on_fused_path():
+    """With a computed fused-likelihood solver, log_prob_fn must refuse an
+    x that differs from the computed inputs (the factorization is built on
+    the cached points; a different x would silently score the wrong
+    data)."""
+    from george_tpu.solvers import HODLRSolver
+
+    rng = np.random.default_rng(21)
+    x = np.sort(rng.uniform(0, 10, 128))
+    y = np.sin(x)
+    gp = GP(1.2 * kernels.ExpSquaredKernel(2.0), solver=HODLRSolver)
+    gp.compute(x, 0.1)
+    # matching x is fine
+    gp.log_prob_fn(x, y, 0.1)
+    with pytest.raises(ValueError):
+        gp.log_prob_fn(x + 0.5, y, 0.1)

@@ -52,6 +52,36 @@ def test_nuts_mass_adaptation_scales():
     assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
 
 
+def test_nuts_depth_reaches_max_on_straight_trajectory():
+    """Regression for the backward-subtree U-turn orientation bug: with a
+    step size far too small to curve the trajectory, every doubling must
+    succeed and the tree must reach ``max_depth`` (a direction-dependent
+    check spuriously truncates backward subtrees at their first odd
+    leaf)."""
+    from george_tpu.sampling.hmc import nuts_transition
+
+    def log_prob(theta):
+        return -0.5 * jnp.sum(theta ** 2)
+
+    vag = jax.value_and_grad(log_prob)
+    dim, eps, max_depth = 4, 0.01, 8
+    q0 = jnp.zeros(dim) + 0.1
+    lp0, g0 = vag(q0)
+    inv_mass = jnp.ones(dim)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 16)
+    step = jax.jit(jax.vmap(
+        lambda k: nuts_transition(
+            k, q0, lp0, g0, vag, eps, inv_mass, max_depth=max_depth
+        )[4]
+    ))
+    depths = np.asarray(step(keys))
+    # 256 leapfrog steps of 0.01 cover ~2.6 rad of the period-2pi orbit —
+    # no U-turn is geometrically possible, so every transition must hit
+    # the depth cap.
+    assert np.all(depths == max_depth), depths
+
+
 def test_hmc_gaussian():
     def log_prob(theta):
         return -0.5 * jnp.sum(theta ** 2)

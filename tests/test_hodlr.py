@@ -285,3 +285,28 @@ def test_hutchinson_loglike_and_grad_function():
     assert np.isclose(float(ll_e), float(ll_h), rtol=1e-10)
     assert np.allclose(np.asarray(g_e), np.asarray(g_h), rtol=0.1,
                        atol=0.5)
+
+
+def test_hodlr_recompute_invalidates_caches():
+    """Re-calling compute() on the same solver instance (new data AND new
+    hyperparameters) must not reuse matvec/sqrt closures built over the
+    old structure (regression: lazily-built _mv_fn/_sym_factors survived
+    a recompute)."""
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    x1, y1, yerr1 = _data(300, seed=3)
+    s = HODLRSolver(kernel, min_size=64, rank=32)
+    s.compute(x1, yerr1)
+    v1 = np.random.default_rng(4).standard_normal(len(x1))
+    s.apply_forward(v1)          # builds the matvec caches
+    s.apply_sqrt(v1)             # builds the symmetric caches
+
+    x2, y2, yerr2 = _data(280, seed=5, span=12.0)
+    kernel.set_parameter_vector(kernel.get_parameter_vector() + 0.3)
+    s.compute(x2, yerr2)
+    K2 = _dense(kernel, x2, yerr2)
+    v2 = np.random.default_rng(6).standard_normal(len(x2))
+    mv = s.apply_forward(v2)
+    assert np.linalg.norm(mv - K2 @ v2) / np.linalg.norm(K2 @ v2) < 1e-6
+    # W W^T == K for the NEW data/theta
+    W = s.apply_sqrt(np.eye(len(x2)))
+    assert np.linalg.norm(W.T @ W - K2) / np.linalg.norm(K2) < 1e-5

@@ -134,3 +134,24 @@ def test_sparse_mesh_sharded_matches_unsharded():
         s0.log_determinant
     )
     assert rel < 0.05  # SLQ probe streams differ on the padded system
+
+
+def test_sparse_get_inverse_unpadded_shape():
+    """get_inverse must return (n, n) even when mesh padding rows were
+    added (regression: the identity was built at the padded size, leaving
+    pad columns in the result)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+
+    x, y, yerr, kernel = _sparse_problem(n=203)  # not divisible by ndev
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    s = SparseSolver(kernel, mesh=mesh)
+    s.compute(x, yerr)
+    Kinv = s.get_inverse()
+    assert Kinv.shape == (203, 203)
+    K = _dense(kernel, x, yerr)
+    assert np.allclose(Kinv @ K, np.eye(203), atol=1e-5)
