@@ -20,6 +20,13 @@ from george_tpu.sampling import (
 
 
 def main():
+    import sys
+
+    # --smoke: reduced iteration counts for the CI smoke test
+    smoke = "--smoke" in sys.argv
+    n_ens, n_nuts_w, n_nuts_s, n_advi = (
+        (200, 120, 150, 400) if smoke else (800, 400, 500, 1500)
+    )
     rng = np.random.default_rng(42)
     x = np.sort(rng.uniform(0, 10, 80))
     yerr = 0.1
@@ -41,9 +48,9 @@ def main():
     nw = 32
     sampler = EnsembleSampler(nw, ndim, log_prob)
     sampler.run_mcmc(
-        p0 + 1e-3 * rng.standard_normal((nw, ndim)), 800, seed=0
+        p0 + 1e-3 * rng.standard_normal((nw, ndim)), n_ens, seed=0
     )
-    flat_ens = sampler.flatchain[nw * 400:]
+    flat_ens = sampler.flatchain[nw * (n_ens // 2):]
     print("ensemble posterior mean:", flat_ens.mean(axis=0),
           "sd:", flat_ens.std(axis=0))
 
@@ -51,7 +58,7 @@ def main():
     samples, stats = sample_nuts(
         jax.random.PRNGKey(1), log_prob,
         p0 + 1e-3 * rng.standard_normal((8, ndim)),
-        num_warmup=400, num_samples=500,
+        num_warmup=n_nuts_w, num_samples=n_nuts_s,
     )
     flat_nuts = np.asarray(samples).reshape(-1, ndim)
     print("NUTS posterior mean:    ", flat_nuts.mean(axis=0),
@@ -59,7 +66,7 @@ def main():
           "accept: %.2f" % float(np.mean(stats["accept"])))
 
     # --- variational -----------------------------------------------------
-    advi = ADVI(log_prob, num_steps=1500)
+    advi = ADVI(log_prob, num_steps=n_advi)
     mu, sigma = advi.fit(gp.get_parameter_vector(), seed=2)
     print("ADVI posterior mean:    ", mu, "sd:", sigma)
 

@@ -448,8 +448,15 @@ class GP(ModelSet):
         return self._fused["vag"]
 
     def _grad_log_likelihood_host(self, y, quiet=False):
-        """Reference-style gradient for host-side (non-traceable) mean or
-        white-noise models (reference ``gp.py:440-504``)."""
+        """Gradient for host-side (non-traceable) mean or white-noise
+        models, from the classic identity
+
+            d ll / d theta = 1/2 tr[(a a^T - K^{-1}) dK/dtheta] ,
+                  a = K^{-1} (y - mu),
+
+        assembled on the host because the component models cannot be traced
+        (same regime as reference ``gp.py:440-504``, derived independently
+        here from the marginal-likelihood identity above)."""
         try:
             alpha = self._compute_alpha(y, False)
         except ValueError:
@@ -457,31 +464,25 @@ class GP(ModelSet):
                 return np.zeros(len(self), dtype=np.float64)
             raise
 
-        K_inv = self.solver.get_inverse()
-        A = np.einsum("i,j", alpha, alpha) - K_inv
+        # the "information matrix" of the identity; every block below is a
+        # contraction of a parameter-Jacobian against it
+        info = np.outer(alpha, alpha) - self.solver.get_inverse()
 
-        grad = np.empty(len(self))
-        n = 0
-        l = len(self.mean)
-        if l:
-            mu_g = self._call_mean_gradient(self._x)
-            grad[n : n + l] = np.dot(mu_g, alpha)
-        n += l
-
-        l = len(self.white_noise)
-        if l:
-            wn = self._call_white_noise(self._x)
-            wng = self._call_white_noise_gradient(self._x)
-            grad[n : n + l] = 0.5 * np.sum(
-                (np.exp(wn) * np.diag(A))[None, :] * wng, axis=1
+        pieces = []
+        if len(self.mean):
+            # d ll / d mean-params = (d mu / d p) @ a
+            pieces.append(self._call_mean_gradient(self._x) @ alpha)
+        if len(self.white_noise):
+            # dK/dp is diagonal: exp(wn) * d wn / d p on the diagonal
+            scale = np.exp(self._call_white_noise(self._x)) * np.diag(info)
+            jac = self._call_white_noise_gradient(self._x)
+            pieces.append(0.5 * jac @ scale)
+        if len(self.kernel):
+            dK = self.kernel.get_gradient(self._x)  # (n, n, n_params)
+            pieces.append(
+                0.5 * np.tensordot(dK, info, axes=[(0, 1), (0, 1)])
             )
-        n += l
-
-        l = len(self.kernel)
-        if l:
-            Kg = self.kernel.get_gradient(self._x)
-            grad[n : n + l] = 0.5 * np.einsum("ijk,ij", Kg, A)
-        return grad
+        return np.concatenate(pieces) if pieces else np.empty(0)
 
     def _grad_log_likelihood_matrix_free(self, y, quiet=False):
         """Hutchinson trace-estimated gradient through a matrix-free solver

@@ -318,60 +318,72 @@ class Kernel(ModelSet):
         return np.array(self._eval("x2grad")(self.theta, x1, x2))
 
     # ------------------------------------------------------------------
-    # Finite-difference self-tests (reference ``kernels.py:190-245``)
+    # Finite-difference self-tests.  The reference ships equivalent
+    # checkers (``kernels.py:190-245``); here they are all thin wrappers
+    # over one generic central-difference probe.
     # ------------------------------------------------------------------
 
+    def _fd_probe(self, value_fn, read, write, coord, eps):
+        """Central difference of ``value_fn()`` as one coordinate of a
+        mutable state vector is nudged: ``read()`` returns the state,
+        ``write(state)`` installs it, ``coord`` indexes into it."""
+        state = read()
+        pinned = state[coord]
+        samples = {}
+        for signed in (eps, -eps):
+            state[coord] = pinned + signed
+            write(state)
+            samples[signed] = value_fn()
+        state[coord] = pinned
+        write(state)
+        return (samples[eps] - samples[-eps]) / (2.0 * eps)
+
     def test_gradient(self, x1, x2=None, eps=1.32e-6, **kwargs):
-        vector = self.get_parameter_vector()
-        g0 = self.get_gradient(x1, x2=x2)
-        for i, v in enumerate(vector):
-            vector[i] = v + eps
-            self.set_parameter_vector(vector)
-            kp = self.get_value(x1, x2=x2)
-
-            vector[i] = v - eps
-            self.set_parameter_vector(vector)
-            km = self.get_value(x1, x2=x2)
-
-            vector[i] = v
-            self.set_parameter_vector(vector)
-
-            grad = 0.5 * (kp - km) / eps
-            assert np.allclose(g0[:, :, i], grad, **kwargs), (
-                "incorrect gradient for parameter '{0}' ({1})".format(
-                    self.get_parameter_names()[i], i
-                )
+        names = self.get_parameter_names()
+        analytic = self.get_gradient(x1, x2=x2)
+        value_fn = lambda: self.get_value(x1, x2=x2)
+        for i in range(len(names)):
+            fd = self._fd_probe(
+                value_fn,
+                self.get_parameter_vector, self.set_parameter_vector,
+                (i,), eps,
             )
+            if not np.allclose(analytic[:, :, i], fd, **kwargs):
+                worst = np.max(np.abs(analytic[:, :, i] - fd))
+                raise AssertionError(
+                    "analytic gradient of %s w.r.t. %r deviates from the "
+                    "central difference by up to %g"
+                    % (type(self).__name__, names[i], worst)
+                )
+
+    def _test_x_gradient(self, which, x1, x2, eps, kwargs):
+        kwargs.setdefault("atol", 0.5 * eps)
+        analytic = (
+            self.get_x1_gradient(x1, x2=x2) if which == 1
+            else self.get_x2_gradient(x1, x2=x2)
+        )
+        if x2 is None:
+            x2 = np.array(x1)
+        xp = x1 if which == 1 else x2
+        value_fn = lambda: self.get_value(x1, x2=x2)
+        for i in range(len(xp)):
+            for k in range(self.ndim):
+                # the point arrays are nudged in place, so the install
+                # callback has nothing to do
+                fd = self._fd_probe(
+                    value_fn, lambda: xp, lambda _: None, (i, k), eps
+                )
+                got = analytic[i, :, k] if which == 1 else analytic[:, i, k]
+                ref = fd[i] if which == 1 else fd[:, i]
+                assert np.allclose(got, ref, **kwargs), (
+                    "input-gradient mismatch at point %d axis %d" % (i, k)
+                )
 
     def test_x1_gradient(self, x1, x2=None, eps=1.32e-6, **kwargs):
-        kwargs["atol"] = kwargs.get("atol", 0.5 * eps)
-        g0 = self.get_x1_gradient(x1, x2=x2)
-        if x2 is None:
-            x2 = np.array(x1)
-        for i in range(len(x1)):
-            for k in range(self.ndim):
-                x1[i, k] += eps
-                kp = self.get_value(x1, x2=x2)
-                x1[i, k] -= 2 * eps
-                km = self.get_value(x1, x2=x2)
-                x1[i, k] += eps
-                grad = 0.5 * (kp - km) / eps
-                assert np.allclose(g0[i, :, k], grad[i], **kwargs)
+        self._test_x_gradient(1, x1, x2, eps, kwargs)
 
     def test_x2_gradient(self, x1, x2=None, eps=1.32e-6, **kwargs):
-        kwargs["atol"] = kwargs.get("atol", 0.5 * eps)
-        g0 = self.get_x2_gradient(x1, x2=x2)
-        if x2 is None:
-            x2 = np.array(x1)
-        for i in range(len(x2)):
-            for k in range(self.ndim):
-                x2[i, k] += eps
-                kp = self.get_value(x1, x2=x2)
-                x2[i, k] -= 2 * eps
-                km = self.get_value(x1, x2=x2)
-                x2[i, k] += eps
-                grad = 0.5 * (kp - km) / eps
-                assert np.allclose(g0[:, i, k], grad[:, i], **kwargs)
+        self._test_x_gradient(2, x1, x2, eps, kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -147,17 +147,21 @@ class Model(object):
         autodiff gradients.
         """
         eps = 1.254e-5
-        vector = self.get_parameter_vector()
-        value0 = np.asarray(self.get_value(*args, **kwargs))
-        grad = np.empty([len(vector)] + list(value0.shape), dtype=np.float64)
-        for i, v in enumerate(vector):
-            vector[i] = v + eps
-            self.set_parameter_vector(vector)
-            value = np.asarray(self.get_value(*args, **kwargs))
-            vector[i] = v
-            self.set_parameter_vector(vector)
-            grad[i] = (value - value0) / eps
-        return grad
+        theta0 = self.get_parameter_vector()
+        base = np.asarray(self.get_value(*args, **kwargs), dtype=np.float64)
+
+        def value_at(theta):
+            self.set_parameter_vector(theta)
+            try:
+                return np.asarray(self.get_value(*args, **kwargs))
+            finally:
+                self.set_parameter_vector(theta0)
+
+        rows = [
+            (value_at(theta0 + eps * basis) - base) / eps
+            for basis in np.eye(len(theta0))
+        ]
+        return np.stack(rows) if rows else np.empty((0,) + base.shape)
 
     def get_gradient(self, *args, **kwargs):
         include_frozen = kwargs.pop("include_frozen", False)

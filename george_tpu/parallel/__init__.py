@@ -54,9 +54,21 @@ def chain_mesh(n_devices=None, axis="chains"):
 
 
 def shard_chains(mesh, array, axis="chains"):
-    """Place ``array`` with its leading axis sharded over the mesh."""
+    """Place ``array`` with its leading axis sharded over the mesh.
+
+    Works across processes: when the mesh spans devices this process
+    cannot address (multi-host ``initialize()``), each process contributes
+    only its addressable shards — every process must pass the same
+    (replicated) host array.
+    """
     spec = P(axis, *([None] * (np.ndim(array) - 1)))
-    return jax.device_put(jnp.asarray(array), NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        host = np.asarray(array)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: jnp.asarray(host[idx])
+        )
+    return jax.device_put(jnp.asarray(array), sharding)
 
 
 def _batch_sharding(mesh, ndim, axis="chains"):
@@ -111,10 +123,69 @@ def sharded_run_ensemble(mesh, key, p0, log_prob_fn, nsteps, **opts):
     return chain, logps, accs
 
 
+def _device_solve_cols(solver):
+    """A jit-traceable ``R (n, k) -> K^{-1} R`` for any computed solver.
+
+    The training axis stays whole on every device; the RHS *column* axis
+    (one column per test point) is the batch axis the mesh shards, so each
+    solver's device solve parallelizes over test points for free."""
+    L = getattr(solver, "_L", None)
+    if L is not None:  # exact/dense path
+        from ..solvers.linalg import chol_solve
+
+        Lj = jnp.asarray(L)
+        return lambda R: chol_solve(Lj, R)
+
+    struct = getattr(solver, "_struct", None)
+    if struct is not None and getattr(solver, "_factors", None) is not None:
+        # hierarchical path: permute + pad rows into the solver's sorted
+        # layout inside the trace, solve, then scatter back
+        from ..solvers.hodlr import hodlr_solve, hodlr_sqrt_solve
+
+        perm = jnp.asarray(solver._perm)
+        factors = solver._factors
+        sym = bool(getattr(solver, "sym", False))
+
+        def solve_hodlr(R):
+            pad = jnp.zeros((struct.n_pad - struct.n, R.shape[1]), R.dtype)
+            Rp = jnp.concatenate([R[perm], pad], axis=0)
+            if sym:
+                Z = hodlr_sqrt_solve(
+                    factors, struct,
+                    hodlr_sqrt_solve(factors, struct, Rp),
+                    transpose=True,
+                )
+            else:
+                Z = hodlr_solve(factors, struct, Rp)
+            return jnp.zeros_like(R).at[perm].set(Z[: struct.n])
+
+        return solve_hodlr
+
+    if getattr(solver, "_solve", None) is not None:  # sparse/CG path
+        theta = solver._theta
+        pad_rows = solver._pad_rows
+        inner = solver._solve
+
+        def solve_sparse(R):
+            if pad_rows:
+                R = jnp.pad(R, ((0, pad_rows), (0, 0)))
+            Z = inner(theta, R)[0]
+            return Z[: Z.shape[0] - pad_rows] if pad_rows else Z
+
+        return solve_sparse
+
+    raise ValueError(
+        "solver %r exposes no device-side solve; compute() it first"
+        % type(solver).__name__
+    )
+
+
 def sharded_predict(mesh, gp, y, t, return_var=True):
     """Posterior prediction with the test-point axis sharded over the mesh
     (embarrassingly parallel: each device computes its slice of the cross
-    covariance and the variance reduction)."""
+    covariance and the variance reduction). Works with every solver —
+    exact, hierarchical (incl. ``sym=1``) and sparse — through each
+    solver's own device-side ``K^{-1}`` apply."""
     gp.recompute()
     alpha = jnp.asarray(gp._compute_alpha(np.asarray(y), True))
     x = jnp.asarray(gp._x)
@@ -126,21 +197,14 @@ def sharded_predict(mesh, gp, y, t, return_var=True):
 
     pair = gp.kernel.pair_fn
     theta = jnp.asarray(gp.kernel.parameter_vector)
-    if getattr(gp.solver, "_L", None) is None:
-        raise NotImplementedError(
-            "sharded_predict currently requires the exact (BasicSolver) "
-            "path; hierarchical/sparse solvers predict via gp.predict"
-        )
-    L = jnp.asarray(gp.solver._L)
+    solve_cols = _device_solve_cols(gp.solver)
 
     def predict_block(tblk):
         Kxs = jax.vmap(
             lambda a: jax.vmap(lambda b: pair(theta, a, b))(x)
         )(tblk)
         mu = Kxs @ alpha
-        from ..solvers.linalg import chol_solve
-
-        KinvK = chol_solve(L, Kxs.T)
+        KinvK = solve_cols(Kxs.T)
         kdiag = jax.vmap(lambda a: pair(theta, a, a))(tblk)
         var = kdiag - jnp.sum(Kxs.T * KinvK, axis=0)
         return mu, var

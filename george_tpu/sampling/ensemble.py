@@ -39,7 +39,16 @@ def stretch_move_half(key, active, active_logp, other, log_prob_fn, a=2.0):
     u = jax.random.uniform(key_z, (k,))
     z = ((a - 1.0) * u + 1.0) ** 2 / a
     idx = jax.random.randint(key_pick, (k,), 0, other.shape[0])
-    partners = other[idx]
+    # Partner lookup as a one-hot contraction instead of a dynamic
+    # gather: with both halves row-sharded over the ('chains',) mesh, a
+    # gather with random cross-shard indices forces GSPMD into
+    # involuntary full rematerialization; the contraction lowers to one
+    # clean all-gather of the (tiny) complementary half. Values are
+    # bit-identical to the gather (one-hot rows select exactly).
+    onehot = (
+        idx[:, None] == jnp.arange(other.shape[0])[None, :]
+    ).astype(other.dtype)
+    partners = onehot @ other
     proposal = partners + z[:, None] * (active - partners)
     new_logp = log_prob_fn(proposal)
     log_ratio = (ndim - 1.0) * jnp.log(z) + new_logp - active_logp
@@ -54,22 +63,31 @@ def ensemble_step(key, walkers, logp, log_prob_fn, a=2.0):
 
     Returns ``(walkers, logp, accept_fraction)``.
     """
-    nw = walkers.shape[0]
-    half = nw // 2
+    half = walkers.shape[0] // 2
+    (first, second), (lp1, lp2), acc = _ensemble_step_halves(
+        key, (walkers[:half], walkers[half:]),
+        (logp[:half], logp[half:]), log_prob_fn, a,
+    )
+    walkers = jnp.concatenate([first, second], axis=0)
+    logp = jnp.concatenate([lp1, lp2], axis=0)
+    return walkers, logp, acc
+
+
+def _ensemble_step_halves(key, halves, logps, log_prob_fn, a=2.0):
+    """Red/black sweep on pre-split halves. Keeping the halves separate
+    through the whole scan (instead of re-splitting a concatenated
+    ensemble each step) keeps every per-step array aligned with the
+    ('chains',) row sharding — no per-step reshard of the walker axis."""
+    (first, second), (lp1, lp2) = halves, logps
     k1, k2 = jax.random.split(key)
-
-    first, second = walkers[:half], walkers[half:]
-    lp1, lp2 = logp[:half], logp[half:]
-
     first, lp1, acc1 = stretch_move_half(k1, first, lp1, second,
                                          log_prob_fn, a)
     second, lp2, acc2 = stretch_move_half(k2, second, lp2, first,
                                           log_prob_fn, a)
-
-    walkers = jnp.concatenate([first, second], axis=0)
-    logp = jnp.concatenate([lp1, lp2], axis=0)
-    acc = jnp.concatenate([acc1, acc2], axis=0).astype(logp.dtype).mean()
-    return walkers, logp, acc
+    acc = 0.5 * (
+        acc1.astype(lp1.dtype).mean() + acc2.astype(lp2.dtype).mean()
+    )
+    return (first, second), (lp1, lp2), acc
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "nsteps", "thin", "a"))
@@ -81,21 +99,31 @@ def run_ensemble(key, p0, log_prob_fn, nsteps, thin=1, a=2.0):
     ``lax.scan`` — zero host round-trips between steps.
     """
     logp0 = log_prob_fn(p0)
+    half = p0.shape[0] // 2
+    # split once before the scan; the carry stays in half layout so the
+    # sharded walker axis is never re-partitioned step to step
+    halves0 = (p0[:half], p0[half:])
+    logps0 = (logp0[:half], logp0[half:])
 
     def body(state, key):
-        walkers, logp = state
+        halves, logps = state
         def inner(carry, k):
-            w, l, _ = carry
-            w, l, acc = ensemble_step(k, w, l, log_prob_fn, a)
-            return (w, l, acc), None
+            h, l, _ = carry
+            h, l, acc = _ensemble_step_halves(k, h, l, log_prob_fn, a)
+            return (h, l, acc), None
         keys = jax.random.split(key, thin)
-        (walkers, logp, acc), _ = jax.lax.scan(
-            inner, (walkers, logp, jnp.zeros((), dtype=logp.dtype)), keys)
-        return (walkers, logp), (walkers, logp, acc)
+        (halves, logps, acc), _ = jax.lax.scan(
+            inner, (halves, logps, jnp.zeros((), dtype=logp0.dtype)), keys)
+        return (halves, logps), (halves, logps, acc)
 
     nkept = nsteps // thin
     keys = jax.random.split(key, nkept)
-    _, (chain, logps, accs) = jax.lax.scan(body, (p0, logp0), keys)
+    _, ((c1, c2), (l1, l2), accs) = jax.lax.scan(
+        body, (halves0, logps0), keys
+    )
+    # reassemble the emcee walker order once, outside the step loop
+    chain = jnp.concatenate([c1, c2], axis=1)
+    logps = jnp.concatenate([l1, l2], axis=1)
     return chain, logps, accs
 
 

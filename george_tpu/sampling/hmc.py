@@ -53,6 +53,22 @@ def _kinetic(p, inv_mass):
     return 0.5 * jnp.sum(p * p * inv_mass)
 
 
+def _energy_dtype():
+    """Accumulation dtype for Hamiltonian energies: f64 when enabled
+    (``canonicalize_dtype`` degrades to f32 otherwise). In f32 chains the
+    energies are O(|logp|) while the divergence/acceptance logic consumes
+    O(1) *differences* — accumulating the kinetic sums and the
+    ``H - H0`` subtraction in f64 removes the cancellation noise that
+    spuriously trips the divergence check (measured divergence_frac ~0.15
+    at N=1e5 in pure f32)."""
+    return jax.dtypes.canonicalize_dtype(jnp.float64)
+
+
+def _kinetic_hi(p, inv_mass):
+    hi = _energy_dtype()
+    return 0.5 * jnp.sum(p.astype(hi) * p.astype(hi) * inv_mass.astype(hi))
+
+
 # ---------------------------------------------------------------------------
 # HMC transition (vmappable over chains)
 # ---------------------------------------------------------------------------
@@ -61,8 +77,9 @@ def hmc_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
                    num_steps):
     """Single-chain HMC transition with ``num_steps`` leapfrog steps."""
     key_mom, key_acc = jax.random.split(key)
+    hi = _energy_dtype()
     p0 = jax.random.normal(key_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
-    energy0 = -logp + _kinetic(p0, inv_mass)
+    energy0 = -logp.astype(hi) + _kinetic_hi(p0, inv_mass)
 
     def body(i, state):
         qq, pp, lp, g = state
@@ -71,8 +88,8 @@ def hmc_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
     qn, pn, lpn, gn = jax.lax.fori_loop(
         0, num_steps, body, (q, p0, logp, grad)
     )
-    energy1 = -lpn + _kinetic(pn, inv_mass)
-    log_accept = jnp.minimum(0.0, energy0 - energy1)
+    energy1 = -lpn.astype(hi) + _kinetic_hi(pn, inv_mass)
+    log_accept = jnp.minimum(0.0, energy0 - energy1).astype(q.dtype)
     log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
     accept = jnp.log(jax.random.uniform(key_acc, dtype=q.dtype)) < log_accept
     q_out = jnp.where(accept, qn, q)
@@ -115,8 +132,9 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
     dtype = q.dtype
     dim = q.shape[0]
     key_mom, key_loop = jax.random.split(key)
+    e_dtype = _energy_dtype()
     p0 = jax.random.normal(key_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
-    energy0 = -logp + _kinetic(p0, inv_mass)
+    energy0 = -logp.astype(e_dtype) + _kinetic_hi(p0, inv_mass)
 
     # Trajectory state: l = backward end, r = forward end.
     traj = {
@@ -161,8 +179,8 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
                     value_and_grad, st["q"], st["p"], st["g"],
                     direction * eps, inv_mass,
                 )
-                energy = -lpq + _kinetic(pp, inv_mass)
-                d_energy = energy - energy0
+                energy = -lpq.astype(e_dtype) + _kinetic_hi(pp, inv_mass)
+                d_energy = (energy - energy0).astype(dtype)
                 d_energy = jnp.where(
                     jnp.isfinite(d_energy), d_energy, jnp.inf
                 )

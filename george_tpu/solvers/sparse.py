@@ -113,11 +113,21 @@ def cg_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
     return (X[:, 0] if squeeze else X), iters
 
 
-def slq_logdet(matvec, n, dtype, key, num_probes=16, num_steps=30):
+def slq_logdet(matvec, n, dtype, key, num_probes=16, num_steps=30,
+               return_std=False):
     """Stochastic Lanczos quadrature estimate of ``log det A`` for SPD A.
 
     Rademacher probes, ``num_steps`` Lanczos iterations each (batched via
     ``vmap``), Gauss quadrature from the tridiagonal eigendecomposition.
+
+    With ``return_std=True`` also returns the Monte-Carlo standard error
+    of the estimate (std of the per-probe values / sqrt(num_probes)) so
+    callers can judge whether the objective noise floor is acceptable.
+    Variance control across hyperparameters is by **common random
+    numbers**: pass the same ``key`` for every theta (the solver does, by
+    seeding from its own fixed ``seed``) and the probe-set error largely
+    cancels in likelihood *differences*, which is what optimizers and
+    samplers consume.
     """
     probes = jax.random.rademacher(
         key, (num_probes, n), dtype=dtype
@@ -152,7 +162,13 @@ def slq_logdet(matvec, n, dtype, key, num_probes=16, num_steps=30):
         return jnp.sum(tau2 * jnp.log(evals))
 
     estimates = jax.vmap(lanczos)(probes)
-    return n * jnp.mean(estimates)
+    mean = n * jnp.mean(estimates)
+    if return_std:
+        stderr = (
+            n * jnp.std(estimates) / jnp.sqrt(float(num_probes))
+        )
+        return mean, stderr
+    return mean
 
 
 class SparseSolver(object):

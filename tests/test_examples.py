@@ -31,3 +31,44 @@ def test_multioutput_example():
         runpy.run_path("examples/multioutput.py", run_name="__main__")
     finally:
         sys.argv = argv
+
+
+def test_model_example():
+    """Non-linear mean model + GP noise (reference model.rst workflow)."""
+    argv = sys.argv
+    try:
+        sys.argv = ["model.py"]
+        runpy.run_path("examples/model.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+def test_mixture_example():
+    """Mixture-of-GPs component separation (reference mixture.rst)."""
+    argv = sys.argv
+    try:
+        sys.argv = ["mixture.py"]
+        runpy.run_path("examples/mixture.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+def test_bayesopt_example():
+    """The Bayesian-optimization surrogate loop converges to the global
+    minimum (the example asserts location and evaluation budget)."""
+    argv = sys.argv
+    try:
+        sys.argv = ["bayesopt.py"]
+        runpy.run_path("examples/bayesopt.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+def test_hyper_example():
+    """The full optimizer+sampler workflow example stays runnable."""
+    argv = sys.argv
+    try:
+        sys.argv = ["hyper.py", "--smoke"]
+        runpy.run_path("examples/hyper.py", run_name="__main__")
+    finally:
+        sys.argv = argv

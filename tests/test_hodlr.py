@@ -287,6 +287,119 @@ def test_hutchinson_loglike_and_grad_function():
                        atol=0.5)
 
 
+def test_hodlr_sym_solver_parity():
+    """``sym=1`` routes the whole solver protocol through the symmetric
+    ``K = W W^T`` cascade (reference ``hodlr.h:713-786``): logdet,
+    apply_inverse and dot_solve agree with the dense oracle and with the
+    non-symmetric path."""
+    x, y, yerr = _data(500)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    K = _dense(kernel, x, yerr)
+    _, ld_true = np.linalg.slogdet(K)
+    alpha_true = np.linalg.solve(K, y)
+
+    s = HODLRSolver(kernel, min_size=64, rank=48, sym=True)
+    s.compute(x, yerr)
+    assert s.sym
+    assert abs(s.log_determinant - ld_true) < 1e-4
+    a = s.apply_inverse(y)
+    assert np.linalg.norm(a - alpha_true) / np.linalg.norm(alpha_true) < 1e-5
+    assert np.isclose(s.dot_solve(y), y @ alpha_true, rtol=1e-6)
+
+
+def test_hodlr_apply_inverse_sym_W_roundtrip():
+    """``apply_inverse_sym_W(_transpose)`` (reference
+    ``solvers/hodlr.py:72-77`` / ``hodlr.h:169-185``): W^{-1} and W^{-T}
+    invert the sqrt matvec, and W^{-T} W^{-1} == K^{-1}."""
+    x, y, yerr = _data(400)
+    kernel = 1.0 * kernels.ExpSquaredKernel(1.5)
+    K = _dense(kernel, x, yerr)
+    s = HODLRSolver(kernel, min_size=64, rank=48, sym=True)
+    s.compute(x, yerr)
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((len(x), 3))
+    # round-trips through the cascade (matrix and vector RHS)
+    from george_tpu.solvers.hodlr import hodlr_sqrt_matvec
+
+    st = s._struct
+    Vp, _ = s._pad_rhs(V)
+    s._ensure_sym()
+    WV = np.asarray(hodlr_sqrt_matvec(s._sym_factors, st, Vp))
+    back = s.apply_inverse_sym_W(s._unpad(jnp.asarray(WV), False))
+    assert np.allclose(back, V, atol=1e-8)
+    WtV = np.asarray(
+        hodlr_sqrt_matvec(s._sym_factors, st, Vp, transpose=True)
+    )
+    back_t = s.apply_inverse_sym_W_transpose(
+        s._unpad(jnp.asarray(WtV), False)
+    )
+    assert np.allclose(back_t, V, atol=1e-8)
+    # W^{-T} W^{-1} y == K^{-1} y
+    z = s.apply_inverse_sym_W_transpose(s.apply_inverse_sym_W(y))
+    assert np.allclose(z, np.linalg.solve(K, y), atol=1e-6)
+
+
+def test_hodlr_sym_hutchinson_gradient():
+    """sym=1 + grad_mode='hutchinson': the symmetric trace estimator
+    (reference ``gp.py:544-547``) tracks the exact gradient."""
+    x, y, yerr = _data(400)
+    k = 0.9 * kernels.ExpSquaredKernel(1.5)
+    gp_s = GP(k, solver=HODLRSolver, min_size=64, rank=48, sym=True,
+              grad_mode="hutchinson", num_probes=64)
+    gp_s.compute(x, yerr)
+    g_s = gp_s.grad_log_likelihood(y)
+
+    gp_e = GP(0.9 * kernels.ExpSquaredKernel(1.5))
+    gp_e.compute(x, yerr)
+    g_e = gp_e.grad_log_likelihood(y)
+    assert np.allclose(g_s, g_e, rtol=0.2, atol=0.5)
+
+
+def test_hodlr_knn_skeletons():
+    """``knn=`` feeds neighbor-guided skeleton selection (the reference's
+    precomputed-nns CUR path, ``_hodlr.cpp:121-128``): accuracy stays at
+    the dense-oracle level, and explicitly passed ``nns`` are honored."""
+    x, y, yerr = _data(500)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    K = _dense(kernel, x, yerr)
+    _, ld_true = np.linalg.slogdet(K)
+
+    s = HODLRSolver(kernel, min_size=64, rank=32, knn=8)
+    s.compute(x, yerr)
+    assert abs(s.log_determinant - ld_true) < 1e-3
+    a = s.apply_inverse(y)
+    at = np.linalg.solve(K, y)
+    assert np.linalg.norm(a - at) / np.linalg.norm(at) < 1e-4
+
+    # explicit nns (the reference's compute(..., nns) contract)
+    from george_tpu.neighbors import knn_indices
+
+    s2 = HODLRSolver(kernel, min_size=64, rank=32)
+    s2.compute(x, yerr, nns=knn_indices(x, 8))
+    assert abs(s2.log_determinant - ld_true) < 1e-3
+
+
+def test_hodlr_tol_abs_ridge_floor():
+    """``tol_abs`` sets the interpolation ridge floor: a loose floor
+    degrades accuracy smoothly (still finite/stable), a tiny floor matches
+    the default."""
+    x, y, yerr = _data(500)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    s_ref = HODLRSolver(kernel, min_size=64, rank=32)
+    s_ref.compute(x, yerr)
+    s_tight = HODLRSolver(kernel, min_size=64, rank=32, tol_abs=1e-14)
+    s_tight.compute(x, yerr)
+    assert np.isclose(
+        s_tight.log_determinant, s_ref.log_determinant, rtol=1e-6
+    )
+    s_loose = HODLRSolver(kernel, min_size=64, rank=32, tol_abs=1e-2)
+    s_loose.compute(x, yerr)
+    assert np.isfinite(s_loose.log_determinant)
+    # looser floor => larger (but bounded) deviation
+    assert abs(s_loose.log_determinant - s_ref.log_determinant) < 5.0
+
+
 def test_hodlr_recompute_invalidates_caches():
     """Re-calling compute() on the same solver instance (new data AND new
     hyperparameters) must not reuse matvec/sqrt closures built over the

@@ -82,6 +82,54 @@ def test_sharded_predict_matches_host():
 
 
 @needs_devices
+@pytest.mark.parametrize("solver_kwargs", [
+    dict(),                                           # hierarchical
+    dict(sym=True),                                   # symmetric cascade
+])
+def test_sharded_predict_hodlr(solver_kwargs):
+    """sharded_predict through the hierarchical solver's device solve
+    (both factorizations) matches gp.predict."""
+    from george_tpu.solvers import HODLRSolver
+
+    rng = np.random.default_rng(4)
+    x = np.sort(rng.uniform(0, 20, 300))
+    y = np.sin(x) + 0.1 * rng.standard_normal(300)
+    gp = GP(1.0 * kernels.ExpSquaredKernel(1.5), solver=HODLRSolver,
+            min_size=64, rank=48, **solver_kwargs)
+    gp.compute(x, 0.1)
+
+    t = np.linspace(0, 20, 101)
+    mu_ref, var_ref = gp.predict(y, t, return_var=True)
+    mesh = parallel.chain_mesh()
+    mu, var = parallel.sharded_predict(mesh, gp, y, t)
+    assert np.allclose(mu, mu_ref, atol=1e-6)
+    assert np.allclose(var, var_ref, atol=1e-6)
+
+
+@needs_devices
+def test_sharded_predict_sparse():
+    """sharded_predict through the compact-support sparse solver's CG
+    apply matches gp.predict."""
+    from george_tpu.solvers import SparseSolver
+    from george_tpu.kernels import WendlandC2Kernel
+
+    rng = np.random.default_rng(5)
+    x = np.sort(rng.uniform(0, 30, 300))
+    y = np.sin(0.5 * x) + 0.1 * rng.standard_normal(300)
+    base = 1.0 * kernels.ExpSquaredKernel(2.0)
+    gp = GP(WendlandC2Kernel(log_rc=np.log(4.0), kernel_base=base),
+            solver=SparseSolver)
+    gp.compute(x, 0.2)
+
+    t = np.linspace(0, 30, 101)
+    mu_ref, var_ref = gp.predict(y, t, return_var=True)
+    mesh = parallel.chain_mesh()
+    mu, var = parallel.sharded_predict(mesh, gp, y, t)
+    assert np.allclose(mu, mu_ref, atol=1e-6)
+    assert np.allclose(var, var_ref, atol=1e-6)
+
+
+@needs_devices
 def test_shard_chains_placement():
     mesh = parallel.chain_mesh()
     arr = np.zeros((4 * mesh.devices.size, 7))
