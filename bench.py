@@ -63,7 +63,7 @@ def main():
 
     from george_tpu import kernels
     from george_tpu.solvers.hodlr import (
-        build_structure, hodlr_factor, hodlr_solve,
+        build_structure, select_aca_pivots, hodlr_factor, hodlr_solve,
         hodlr_loglike_and_grad_hutchinson,
     )
 
@@ -87,6 +87,19 @@ def main():
     # HBM.
     min_size = 256 if n <= 300_000 else 128
     st = build_structure(n, min_size=min_size, rank=16, seed=42, x_sorted=x)
+    # kernel-adaptive skeletons (same default as HODLRSolver): tighter
+    # compression per rank than geometric FPS pivots, selected once here
+    # and reused across every theta evaluation below
+    xpad_piv = np.concatenate(
+        [x, np.repeat(x[-1:], st.n_pad - n, axis=0)]
+    ).astype(dtype)
+    valid_piv = np.zeros(st.n_pad, dtype=bool)
+    valid_piv[:n] = True
+    select_aca_pivots(
+        kernel.pair_fn,
+        np.asarray(kernel.parameter_vector, dtype=dtype),
+        xpad_piv, valid_piv, st,
+    )
     xpad = np.concatenate(
         [x, np.repeat(x[-1:], st.n_pad - n, axis=0)]
     ).astype(dtype)

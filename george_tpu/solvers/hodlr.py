@@ -86,6 +86,13 @@ class HODLRStructure(object):
         # rematerialize reverse-mode intermediates only when they would
         # threaten HBM; smaller problems skip the backward recompute
         self.remat = self.n > 300_000
+        # optional data-parallel anchors (set by the solver when its
+        # inputs are mesh-sharded): full-row-layout arrays are pinned to
+        # row sharding at each level boundary so GSPMD never falls back
+        # to involuntary full rematerialization on the (p, 2, s, c)
+        # block reshapes
+        self.mesh = None
+        self.shard_axis = None
         rank = self.rank
         self.levels = []
         rng = np.random.default_rng(seed)
@@ -467,7 +474,9 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
         struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
                                     dtype)
     ):
-        Z = jnp.stack([C, Q], axis=1).reshape(n_pad, lev["c"])
+        Z = _row_anchor(
+            jnp.stack([C, Q], axis=1).reshape(n_pad, lev["c"]), struct
+        )
         Zs.append(Z)
 
     # --- upward sweep: factor each level, update coarser left factors -----
@@ -477,7 +486,7 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     # dispatches and wider matmuls for the MXU.
     if L:
         widths = [Z.shape[1] for Z in Zs]
-        Tcat = leaf_solve(jnp.concatenate(Zs, axis=1))
+        Tcat = _row_anchor(leaf_solve(jnp.concatenate(Zs, axis=1)), struct)
         splits = list(np.cumsum(widths))[:-1]
         T = list(jnp.split(Tcat, splits, axis=1))
     else:
@@ -508,8 +517,11 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
 
         if li > 0:
             X = jnp.concatenate(T[:li], axis=1)
-            X = _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X,
-                                  struct.remat)
+            X = _row_anchor(
+                _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X,
+                                  struct.remat),
+                struct,
+            )
             if li > 1:
                 offs = list(np.cumsum([t.shape[1] for t in T[:li]]))[:-1]
                 T[:li] = list(jnp.split(X, offs, axis=1))
@@ -518,6 +530,19 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
 
     factors = {"Lleaf": Lleaf, "levels": levels_out}
     return factors, logdet
+
+
+def _row_anchor(X, struct):
+    """Pin a full-row-layout array to the struct's row sharding (no-op
+    when unsharded)."""
+    if getattr(struct, "mesh", None) is None:
+        return X
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(struct.shard_axis, *([None] * (X.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        X, NamedSharding(struct.mesh, spec)
+    )
 
 
 def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True):
@@ -555,15 +580,21 @@ def hodlr_solve(factors, struct, X):
     squeeze = X.ndim == 1
     if squeeze:
         X = X[:, None]
-    X = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1)).reshape(
-        X.shape
+    X = _row_anchor(
+        jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1)).reshape(
+            X.shape
+        ),
+        struct,
     )
     for li in range(struct.L - 1, -1, -1):
         lev = struct.levels[li]
         Z, T, core_inv = factors["levels"][li]
-        X = _factor_apply_inv(
-            Z, T, core_inv, lev["p"], lev["s"], lev["c"], X,
-            struct.remat,
+        X = _row_anchor(
+            _factor_apply_inv(
+                Z, T, core_inv, lev["p"], lev["s"], lev["c"], X,
+                struct.remat,
+            ),
+            struct,
         )
     return X[:, 0] if squeeze else X
 
@@ -1036,6 +1067,10 @@ class HODLRSolver(object):
                 self._row_sharding = NamedSharding(
                     self.mesh, P(self.shard_axis)
                 )
+                # let the factor/solve sweeps pin their row-layout arrays
+                # (see _row_anchor)
+                st.mesh = self.mesh
+                st.shard_axis = self.shard_axis
                 row2 = NamedSharding(self.mesh, P(self.shard_axis, None))
                 self._xpad = jax.device_put(self._xpad, row2)
                 self._valid = jax.device_put(
