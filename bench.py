@@ -81,12 +81,12 @@ def main():
     use_f64 = (not on_tpu) and jax.config.jax_enable_x64
     dtype = np.float64 if use_f64 else np.float32
 
-    # min_size=256/rank=16 won the single-chip config sweep (throughput at
-    # ~7e-5 relative accuracy vs high-rank f64 on this workload); above ~3e5
-    # leaves keep the batched leaf Cholesky (and its autodiff temps) inside
-    # HBM.
-    min_size = 256 if n <= 300_000 else 128
-    st = build_structure(n, min_size=min_size, rank=16, seed=42, x_sorted=x)
+    # min_size=128/rank=12 with ACA skeletons won the round-2 config sweep:
+    # 3e-8 relative log-likelihood / 1.2e-5 gradient error vs a rank-64 f64
+    # reference on this workload (the kernel-adaptive pivots buy back the
+    # accuracy the lower rank gives up), at 19.6 evals/s on one v5e.
+    min_size = 128
+    st = build_structure(n, min_size=min_size, rank=12, seed=42, x_sorted=x)
     # kernel-adaptive skeletons (same default as HODLRSolver): tighter
     # compression per rank than geometric FPS pivots, selected once here
     # and reused across every theta evaluation below
@@ -117,7 +117,7 @@ def main():
     rj = jnp.asarray(r_pad)
     theta = jnp.asarray(kernel.parameter_vector, dtype=dtype)
 
-    if n <= 300_000:
+    if n < 100_000:
         # exact autodiff gradient: one reverse sweep of the factorization
         def loglike(th):
             factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
@@ -128,8 +128,12 @@ def main():
 
         vag = jax.jit(jax.value_and_grad(loglike))
     else:
-        # reverse-mode residuals exceed HBM at this N; use the exact-quad
-        # + Hutchinson-trace gradient (reference Regime B) — forward-mode
+        # the scale regime: exact quadratic terms + Hutchinson traces
+        # (the reference's own large-N gradient, Regime B ``gp.py:506-562``
+        # with nvec=10 probes) built from one factorization, a multi-RHS
+        # solve and a single theta-batched jacfwd matvec pass. Faster than
+        # the reverse sweep at N=1e5 (51 ms vs 63 ms on a v5e) and the
+        # only path whose memory survives N >= 3e5.
         key = jax.random.PRNGKey(0)
 
         def vag_fn(th):

@@ -90,6 +90,93 @@ def pallas_cholesky(A, block_tile=8, interpret=False):
     return jnp.swapaxes(Lt, -1, -2)
 
 
+def _chol_panel_kernel(a_ref, l_ref, s_scratch, p_scratch, *, m, nb):
+    """Panel-blocked right-looking Cholesky on a VMEM tile.
+
+    Only ``m`` sequential steps total (one per column), each touching a
+    (bt, m, nb) panel slab instead of the whole tile; the cross-panel
+    trailing update is one MXU matmul per panel. Column extraction uses a
+    lane-mask reduction (Mosaic has no dynamic lane indexing), and the
+    within-panel rank-1 update reads the pivot row through a *static*
+    sublane slice — the panel's row range is known at trace time."""
+    bt = a_ref.shape[0]
+    S0 = a_ref[:]
+    s_scratch[:] = S0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    tiny = jnp.asarray(1e-30, S0.dtype)
+
+    for k0 in range(0, m, nb):                       # static panel loop
+        p_scratch[:] = jnp.zeros((bt, m, nb), S0.dtype)
+
+        def step(t, _):
+            k = k0 + t
+            slab = s_scratch[:, :, k0:k0 + nb]       # (bt, m, nb) static
+            col = jnp.sum(
+                jnp.where(lane_ids == t, slab, 0.0), axis=2, keepdims=True
+            )                                        # (bt, m, 1)
+            dkk = jnp.sum(
+                jnp.where(row_ids == k, col, 0.0), axis=1, keepdims=True
+            )
+            inv = jax.lax.rsqrt(jnp.maximum(dkk, tiny))
+            lcol = jnp.where(row_ids >= k, col * inv, 0.0)   # (bt, m, 1)
+            p_scratch[:, :, :] = jnp.where(
+                lane_ids == t, lcol, p_scratch[:, :, :]
+            )
+            # within-panel rank-1 update: the pivot-row restriction of
+            # lcol is the panel's static sublane range
+            lrow_panel = lcol[:, k0:k0 + nb, 0]              # (bt, nb)
+            s_scratch[:, :, k0:k0 + nb] = (
+                slab - lcol * lrow_panel[:, None, :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nb, step, 0)
+        P = p_scratch[:]
+        l_ref[:, :, k0:k0 + nb] = P
+        if k0 + nb < m:
+            # deferred trailing update; already-done panel columns also
+            # get touched but are never read again
+            s_scratch[:] = s_scratch[:] - jax.lax.dot_general(
+                P, P,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=S0.dtype,
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_tile", "panel", "interpret")
+)
+def pallas_cholesky_blocked(A, block_tile=32, panel=32, interpret=False):
+    """Panel-blocked batched Cholesky (see ``_chol_panel_kernel``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, m, _ = A.shape
+    bt = min(block_tile, B)
+    while B % bt:
+        bt -= 1
+    nb = min(panel, m)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        functools.partial(_chol_panel_kernel, m=m, nb=nb),
+        out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
+        grid=(B // bt,),
+        in_specs=[pl.BlockSpec((bt, m, m), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bt, m, m), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bt, m, m), A.dtype),
+            pltpu.VMEM((bt, m, nb), A.dtype),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(A)
+
+
 def _phi(X):
     """Lower-triangular with halved diagonal (the Cholesky pullback's
     projection)."""
