@@ -117,8 +117,11 @@ def main():
     rj = jnp.asarray(r_pad)
     theta = jnp.asarray(kernel.parameter_vector, dtype=dtype)
 
-    if n < 100_000:
-        # exact autodiff gradient: one reverse sweep of the factorization
+    if n <= 150_000:
+        # exact autodiff gradient: one reverse sweep of the factorization.
+        # With the Pallas leaf Cholesky and full-precision contractions
+        # this is both faster than the Hutchinson path at N=1e5 (44 ms vs
+        # 47 ms on a v5e) and free of Monte-Carlo noise.
         def loglike(th):
             factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
             z = hodlr_solve(factors, st, rj)
@@ -128,12 +131,12 @@ def main():
 
         vag = jax.jit(jax.value_and_grad(loglike))
     else:
-        # the scale regime: exact quadratic terms + Hutchinson traces
-        # (the reference's own large-N gradient, Regime B ``gp.py:506-562``
-        # with nvec=10 probes) built from one factorization, a multi-RHS
-        # solve and a single theta-batched jacfwd matvec pass. Faster than
-        # the reverse sweep at N=1e5 (51 ms vs 63 ms on a v5e) and the
-        # only path whose memory survives N >= 3e5.
+        # the very-large-N regime: exact quadratic terms + Hutchinson
+        # traces (the reference's own large-N gradient, Regime B
+        # ``gp.py:506-562`` with nvec=10 probes) built from one
+        # factorization, a multi-RHS solve and a single theta-batched
+        # jacfwd matvec pass — the only path whose reverse-sweep memory
+        # survives N >= 3e5.
         key = jax.random.PRNGKey(0)
 
         def vag_fn(th):
@@ -147,6 +150,18 @@ def main():
     ll0, _ = vag(theta)
     if not np.isfinite(float(ll0)):
         raise RuntimeError("non-finite log-likelihood in benchmark")
+    if n == 100_000:
+        # Accuracy anchor: CPU f64 rank-64 truth for this exact dataset.
+        # Guards against a fast-but-wrong kernel or precision regression
+        # ever producing the headline number (f32 floor is ~9e-4; the
+        # bf16-matmul bug this catches was 9e-2).
+        truth = -23484.7706
+        rel = abs(float(ll0) - truth) / abs(truth)
+        if rel > 5e-3:
+            raise RuntimeError(
+                "benchmark log-likelihood off truth by %.2e (ll=%.3f, "
+                "truth=%.3f)" % (rel, float(ll0), truth)
+            )
 
     # 16 queued evaluations: samplers/optimizers pipeline far more steps
     # than this, so the residual per-dispatch overhead (<2%) is realistic

@@ -4,6 +4,7 @@ the XLA vmapped paths remain the portable fallback)."""
 
 from .assemble import gram, pallas_gram, xla_gram  # noqa: F401
 from .tiled import tile_fn_for, pallas_gram_tiled, xla_gram_tiled  # noqa: F401
+from .chol import cholesky, pallas_cholesky, pallas_cholesky_blocked  # noqa: F401
 
 __all__ = [
     "gram",
@@ -12,4 +13,7 @@ __all__ = [
     "tile_fn_for",
     "pallas_gram_tiled",
     "xla_gram_tiled",
+    "cholesky",
+    "pallas_cholesky",
+    "pallas_cholesky_blocked",
 ]

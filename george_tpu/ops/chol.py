@@ -90,57 +90,61 @@ def pallas_cholesky(A, block_tile=8, interpret=False):
     return jnp.swapaxes(Lt, -1, -2)
 
 
-def _chol_panel_kernel(a_ref, l_ref, s_scratch, p_scratch, *, m, nb):
-    """Panel-blocked right-looking Cholesky on a VMEM tile.
+def _chol_panel_kernel(a_ref, lt_ref, s_scratch, *, m, nb):
+    """Panel-blocked right-looking Cholesky on a VMEM tile; writes L^T.
 
-    Only ``m`` sequential steps total (one per column), each touching a
-    (bt, m, nb) panel slab instead of the whole tile; the cross-panel
-    trailing update is one MXU matmul per panel. Column extraction uses a
-    lane-mask reduction (Mosaic has no dynamic lane indexing), and the
-    within-panel rank-1 update reads the pivot row through a *static*
-    sublane slice — the panel's row range is known at trace time."""
+    ``m`` sequential steps total (one per column); each step reads pivot
+    row ``k`` of the symmetric Schur complement (a dynamic *sublane*
+    slice — the layout Mosaic indexes cheaply), scales it into row ``k``
+    of ``L^T``, and rank-1-updates only the current panel's row band
+    (static sublane range). The trailing row bands are updated once per
+    panel with an MXU contraction over the panel's L^T rows."""
     bt = a_ref.shape[0]
-    S0 = a_ref[:]
-    s_scratch[:] = S0
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
-    tiny = jnp.asarray(1e-30, S0.dtype)
+    import jax.experimental.pallas as pl
 
-    for k0 in range(0, m, nb):                       # static panel loop
-        p_scratch[:] = jnp.zeros((bt, m, nb), S0.dtype)
+    s_scratch[:] = a_ref[:]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    tiny = jnp.asarray(1e-30, a_ref.dtype)
 
-        def step(t, _):
+    for k0 in range(0, m, nb):                        # static panel loop
+        nb_t = min(nb, m - k0)                        # ragged tail panel
+
+        def step(t, _, k0=k0, nb_t=nb_t):
             k = k0 + t
-            slab = s_scratch[:, :, k0:k0 + nb]       # (bt, m, nb) static
-            col = jnp.sum(
-                jnp.where(lane_ids == t, slab, 0.0), axis=2, keepdims=True
-            )                                        # (bt, m, 1)
+            row = s_scratch[:, pl.ds(k, 1), :]        # (bt, 1, m)
             dkk = jnp.sum(
-                jnp.where(row_ids == k, col, 0.0), axis=1, keepdims=True
+                jnp.where(lane_ids == k, row, 0.0), axis=2, keepdims=True
             )
             inv = jax.lax.rsqrt(jnp.maximum(dkk, tiny))
-            lcol = jnp.where(row_ids >= k, col * inv, 0.0)   # (bt, m, 1)
-            p_scratch[:, :, :] = jnp.where(
-                lane_ids == t, lcol, p_scratch[:, :, :]
-            )
-            # within-panel rank-1 update: the pivot-row restriction of
-            # lcol is the panel's static sublane range
-            lrow_panel = lcol[:, k0:k0 + nb, 0]              # (bt, nb)
-            s_scratch[:, :, k0:k0 + nb] = (
-                slab - lcol * lrow_panel[:, None, :]
+            lrow = jnp.where(lane_ids >= k, row * inv, 0.0)  # (bt, 1, m)
+            lt_ref[:, pl.ds(k, 1), :] = lrow
+            # in-panel rank-1 update, restricted to the panel's rows:
+            # the (bt, nb_t, 1) left factor is the panel-lane slice of
+            # lrow, flipped into sublanes
+            lcol_band = jnp.swapaxes(
+                lrow[:, :, k0:k0 + nb_t], 1, 2
+            )                                          # (bt, nb_t, 1)
+            s_scratch[:, k0:k0 + nb_t, :] = (
+                s_scratch[:, k0:k0 + nb_t, :] - lcol_band * lrow
             )
             return 0
 
-        jax.lax.fori_loop(0, nb, step, 0)
-        P = p_scratch[:]
-        l_ref[:, :, k0:k0 + nb] = P
+        jax.lax.fori_loop(0, nb_t, step, 0)
         if k0 + nb < m:
-            # deferred trailing update; already-done panel columns also
-            # get touched but are never read again
-            s_scratch[:] = s_scratch[:] - jax.lax.dot_general(
-                P, P,
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=S0.dtype,
+            # one deferred MXU update for all rows below the panel:
+            # S[i, j] -= sum_t Lt[t, i] Lt[t, j] over the panel's rows t
+            # full-f32 precision is load-bearing: the default bf16 MXU
+            # passes lose enough of the Schur update that near-singular
+            # leaf boxes go indefinite (rsqrt -> inf)
+            Lt_panel = lt_ref[:, k0:k0 + nb, :]        # (bt, nb, m)
+            s_scratch[:, k0 + nb:, :] = (
+                s_scratch[:, k0 + nb:, :]
+                - jax.lax.dot_general(
+                    Lt_panel[:, :, k0 + nb:], Lt_panel,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=a_ref.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             )
 
 
@@ -153,6 +157,17 @@ def pallas_cholesky_blocked(A, block_tile=32, panel=32, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     B, m, _ = A.shape
+    # sublane-align the panel grid: extend odd sizes with an identity
+    # block (its Cholesky is the identity, so the real block is
+    # untouched); unaligned tail panels fault the Mosaic kernel
+    m_orig = m
+    m_pad = -(-m // 32) * 32
+    if m_pad != m:
+        pad = m_pad - m
+        A = jnp.pad(A, ((0, 0), (0, pad), (0, pad)))
+        idx = jnp.arange(m, m_pad)
+        A = A.at[:, idx, idx].set(1.0)
+        m = m_pad
     bt = min(block_tile, B)
     while B % bt:
         bt -= 1
@@ -162,19 +177,20 @@ def pallas_cholesky_blocked(A, block_tile=32, panel=32, interpret=False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    return pl.pallas_call(
+    Lt = pl.pallas_call(
         functools.partial(_chol_panel_kernel, m=m, nb=nb),
         out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
         grid=(B // bt,),
         in_specs=[pl.BlockSpec((bt, m, m), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((bt, m, m), lambda i: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((bt, m, m), A.dtype),
-            pltpu.VMEM((bt, m, nb), A.dtype),
-        ],
+        scratch_shapes=[pltpu.VMEM((bt, m, m), A.dtype)],
         interpret=interpret,
         **kwargs,
     )(A)
+    L = jnp.swapaxes(Lt, -1, -2)
+    if m_orig != m:
+        L = L[:, :m_orig, :m_orig]
+    return L
 
 
 def _phi(X):
@@ -197,18 +213,32 @@ def _use_pallas(A):
         dev = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         dev = "cpu"
-    # Mosaic wants lane-aligned tiles; fall back for small/odd shapes
+    # ragged panels handle any m; Mosaic lane-pads non-128-multiple
+    # trailing dims internally. Below m=64 XLA's expansion is fine.
     return (
         dev not in ("cpu",)
         and A.ndim == 3
-        and A.shape[-1] % 128 == 0
+        and A.shape[-1] >= 64
         and A.dtype in (jnp.float32, jnp.bfloat16)
     )
 
 
+def _auto_tile(B, m, budget_bytes=8 * 1024 * 1024):
+    """Largest block tile dividing B whose scratch fits the VMEM budget
+    (bigger tiles amortize the sequential per-column steps)."""
+    bt = max(1, min(64, budget_bytes // max(m * m * 4, 1)))
+    bt = min(bt, B)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
 def _chol_fwd_impl(A):
     if _use_pallas(A):
-        return pallas_cholesky(A)
+        B, m, _ = A.shape
+        return pallas_cholesky_blocked(
+            A, block_tile=_auto_tile(B, m), panel=32
+        )
     return jnp.linalg.cholesky(A)
 
 

@@ -199,6 +199,9 @@ def sharded_predict(mesh, gp, y, t, return_var=True):
     theta = jnp.asarray(gp.kernel.parameter_vector)
     solve_cols = _device_solve_cols(gp.solver)
 
+    from ..utils import full_precision_matmuls
+
+    @full_precision_matmuls
     def predict_block(tblk):
         Kxs = jax.vmap(
             lambda a: jax.vmap(lambda b: pair(theta, a, b))(x)

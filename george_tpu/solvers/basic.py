@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .linalg import assemble_dense, cholesky_factor, chol_solve
+from ..utils import full_precision_matmuls
 
 __all__ = ["BasicSolver"]
 
@@ -72,12 +73,14 @@ class BasicSolver(object):
         y = np.asarray(y, dtype=np.float64)
         return np.asarray(self._solve_fn(self._L, jnp.asarray(y)))
 
+    @full_precision_matmuls
     def dot_solve(self, y):
         """``y^T (K + diag)^{-1} y``."""
         y = jnp.asarray(np.asarray(y, dtype=np.float64))
         z = self._solve_fn(self._L, y)
         return float(jnp.dot(y, z))
 
+    @full_precision_matmuls
     def apply_sqrt(self, r):
         """``r @ L^T`` — sampling transport for the prior (reference
         ``basic.py:284-302``)."""
@@ -85,6 +88,7 @@ class BasicSolver(object):
             jnp.dot(jnp.asarray(np.asarray(r, dtype=np.float64)), self._L.T)
         )
 
+    @full_precision_matmuls
     def apply_forward(self, y, i=0):
         """Matvec with the factorized matrix ``K + diag`` (``i == 0``) or
         with ``dK/dtheta_{i-1}`` (reference ``basic.py:214-229``)."""

@@ -47,6 +47,8 @@ import jax
 import jax.numpy as jnp
 
 from ..neighbors import morton_sort_samples
+from ..ops.chol import cholesky as _batched_cholesky
+from ..utils import full_precision_matmuls
 
 __all__ = ["HODLRSolver", "build_structure", "hodlr_factor", "hodlr_solve",
            "hodlr_matvec", "hodlr_factor_sym", "hodlr_sqrt_matvec",
@@ -247,6 +249,7 @@ def build_structure(n, min_size=64, rank=32, seed=42, x_sorted=None,
 
 
 @partial(jax.jit, static_argnames=("pair_fn", "c"))
+@full_precision_matmuls
 def _aca_level_pivots(pair_fn, theta, xl, vl, xr, vr, c):
     """Kernel-adaptive skeleton pivots by batched partial-pivot ACA
     (the static-shape analogue of the reference's adaptive cross search,
@@ -438,6 +441,7 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     return out
 
 
+@full_precision_matmuls
 def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     """Factorize ``K_compressed + diag`` level-by-level.
 
@@ -459,7 +463,9 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
                                      struct.remat)
     )(xb, vb)
     Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
-    Lleaf = jnp.linalg.cholesky(Kb)
+    # batched leaf Cholesky: Pallas panel kernel on TPU (3-5x over
+    # XLA's expansion at production leaf sizes; ops/chol.py), XLA on CPU
+    Lleaf = _batched_cholesky(Kb)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
     )
@@ -572,6 +578,7 @@ def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True):
     return apply(Z, T, core_inv, X)
 
 
+@full_precision_matmuls
 def hodlr_solve(factors, struct, X):
     """``K^{-1} X`` through the factor cascade: ``D^{-1}`` then
     ``F_L^{-1} ... F_1^{-1}`` (finest first)."""
@@ -599,6 +606,7 @@ def hodlr_solve(factors, struct, X):
     return X[:, 0] if squeeze else X
 
 
+@full_precision_matmuls
 def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
                  include_diag=True):
     """Structured matvec with the *compressed* matrix ``K_bar (+ diag)``
@@ -635,6 +643,7 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
     return Y[:, 0] if squeeze else Y
 
 
+@full_precision_matmuls
 def hodlr_loglike_and_grad_hutchinson(
     pair_fn, theta, xpad, valid, diag_pad, r_pad, struct, key,
     num_probes=16, n_real=None,
@@ -688,6 +697,7 @@ def hodlr_loglike_and_grad_hutchinson(
     return ll, quad_terms - trace_terms
 
 
+@full_precision_matmuls
 def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
     """Symmetric factorization ``K = W W^T`` (reference ``sym`` variant,
     ``hodlr.h:713-786``), batched level-by-level.
@@ -719,7 +729,9 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
         lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
     )(xb, vb)
     Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
-    Lleaf = jnp.linalg.cholesky(Kb)
+    # batched leaf Cholesky: Pallas panel kernel on TPU (3-5x over
+    # XLA's expansion at production leaf sizes; ops/chol.py), XLA on CPU
+    Lleaf = _batched_cholesky(Kb)
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
     )
@@ -809,6 +821,7 @@ def _sym_apply(Qu, Qv, M, p, s, c, X):
     return (Xb + jnp.stack([add_l, add_r], axis=1)).reshape(X.shape)
 
 
+@full_precision_matmuls
 def hodlr_sqrt_matvec(sym_factors, struct, X, transpose=False):
     """``W X`` (or ``W^T X``) through the symmetric cascade.
 
@@ -845,6 +858,7 @@ def hodlr_sqrt_matvec(sym_factors, struct, X, transpose=False):
     return X[:, 0] if squeeze else X
 
 
+@full_precision_matmuls
 def hodlr_sqrt_solve(sym_factors, struct, X, transpose=False):
     """``W^{-1} X`` (or ``W^{-T} X``) through the symmetric cascade — the
     reference's ``solve_sym`` / ``solve_sym_transpose``
@@ -1135,6 +1149,7 @@ class HODLRSolver(object):
         xpad, valid = self._xpad, self._valid
         n = st.n
 
+        @full_precision_matmuls
         def loglike(theta_k, diag, r):
             diag_pad = jnp.concatenate(
                 [diag[perm], jnp.ones(st.n_pad - n, dtype=diag.dtype)]

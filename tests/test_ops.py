@@ -88,3 +88,76 @@ def test_tiled_gram_unsupported_returns_none():
         gamma=1.0, log_period=0.0)) is None
     assert tile_fn_for(kernels.ExpSquaredKernel(
         1.0, block=[(-1.0, 1.0)])) is None
+
+
+def _spd_batch(rng, B, m, dtype=np.float32, near_singular=False):
+    """Random SPD blocks shaped like the solver's leaf boxes."""
+    X = rng.standard_normal((B, m, 3 * m))
+    A = np.einsum("bik,bjk->bij", X, X) / (3 * m)
+    jitter = 1e-4 if near_singular else 1.0
+    A += jitter * np.eye(m)[None]
+    return A.astype(dtype)
+
+
+@pytest.mark.parametrize("B,m", [(8, 128), (6, 196), (16, 64), (4, 256)])
+def test_pallas_cholesky_blocked_matches_xla(B, m):
+    """Panel kernel (interpret mode) vs XLA, incl. ragged m needing the
+    identity-extension sublane padding (m=196)."""
+    from george_tpu.ops.chol import pallas_cholesky_blocked
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(_spd_batch(rng, B, m))
+    L_ref = np.asarray(jnp.linalg.cholesky(A))
+    L = np.asarray(pallas_cholesky_blocked(A, block_tile=4, interpret=True))
+    scale = np.abs(L_ref).max()
+    assert np.allclose(L, L_ref, atol=3e-5 * scale)
+    # strictly lower-triangular output (upper zeroed)
+    assert np.allclose(L, np.tril(L), atol=0)
+
+
+def test_pallas_cholesky_simple_kernel_matches_xla():
+    from george_tpu.ops.chol import pallas_cholesky
+
+    rng = np.random.default_rng(4)
+    A = jnp.asarray(_spd_batch(rng, 8, 128))
+    L_ref = np.asarray(jnp.linalg.cholesky(A))
+    L = np.asarray(pallas_cholesky(A, block_tile=4, interpret=True))
+    assert np.allclose(L, L_ref, atol=3e-5 * np.abs(L_ref).max())
+
+
+def test_pallas_cholesky_blocked_near_singular():
+    """Small-jitter leaves must stay finite (the f32 regime the
+    full-precision Schur update protects)."""
+    from george_tpu.ops.chol import pallas_cholesky_blocked
+
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(_spd_batch(rng, 4, 128, near_singular=True))
+    L = np.asarray(pallas_cholesky_blocked(A, block_tile=4, interpret=True))
+    assert np.isfinite(L).all()
+    rec = np.einsum("bik,bjk->bij", L, L)
+    assert np.allclose(rec, np.asarray(A), atol=5e-4)
+
+
+def test_cholesky_wrapper_grad_matches_xla():
+    """custom_vjp backward of ops.chol.cholesky == autodiff through
+    jnp.linalg.cholesky."""
+    from george_tpu.ops.chol import cholesky
+
+    rng = np.random.default_rng(6)
+    A = jnp.asarray(_spd_batch(rng, 3, 32, dtype=np.float64))
+
+    def loss_ours(M):
+        L = cholesky(M)
+        return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))) + (
+            0.01 * jnp.sum(L**2)
+        )
+
+    def loss_xla(M):
+        L = jnp.linalg.cholesky(M)
+        return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))) + (
+            0.01 * jnp.sum(L**2)
+        )
+
+    g1 = np.asarray(jax.grad(loss_ours)(A))
+    g2 = np.asarray(jax.grad(loss_xla)(A))
+    assert np.allclose(g1, g2, atol=1e-9)
