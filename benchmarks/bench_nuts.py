@@ -62,7 +62,9 @@ def main():
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
     )
-    jax.block_until_ready(samples)
+    # a host fetch, not block_until_ready: over the serving tunnel only a
+    # device->host transfer reliably waits for remote completion
+    _ = float(np.asarray(samples).ravel()[0])
     total = time.perf_counter() - t0
 
     # timed run (cached compile)
@@ -72,7 +74,7 @@ def main():
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
     )
-    jax.block_until_ready(samples)
+    _ = float(np.asarray(samples).ravel()[0])
     timed = time.perf_counter() - t0
 
     draws = args.samples * args.chains

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from ..neighbors import morton_sort_samples
 from ..ops.chol import cholesky as _batched_cholesky
-from ..utils import full_precision_matmuls
+from ..utils import full_precision_matmuls, pinned_full_precision
 
 __all__ = ["HODLRSolver", "build_structure", "hodlr_factor", "hodlr_solve",
            "hodlr_matvec", "hodlr_factor_sym", "hodlr_sqrt_matvec",
@@ -359,6 +359,7 @@ def _cho_solve_lower(L, y):
     return jax.scipy.linalg.solve_triangular(L, z, lower=True, trans=1)
 
 
+@pinned_full_precision
 def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     """Skeleton (CUR) factors for EVERY level's sibling couplings, with
     the kernel-entry assembly and the interpolation solves batched over
@@ -427,16 +428,22 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     ro, po = flat["row_offset"], flat["pair_offset"]
     for li, lev in enumerate(struct.levels):
         s, p = lev["s"], lev["p"]
-        C = C_flat[ro[li]:ro[li + 1]].reshape(p, s, c)
-        Rt = Rt_flat[ro[li]:ro[li + 1]].reshape(p, s, c)
-        Ml = M[po[li]:po[li + 1]]
+        C = _level_anchor(
+            C_flat[ro[li]:ro[li + 1]].reshape(p, s, c), struct, p
+        )
+        Rt = _level_anchor(
+            Rt_flat[ro[li]:ro[li + 1]].reshape(p, s, c), struct, p
+        )
+        Ml = _level_anchor(M[po[li]:po[li + 1]], struct, p)
         Gl = G[po[li]:po[li + 1]]
         # Solve with the PROJECTED right-hand side M^T R (which lies in
         # range(M)): precomputing G^{-1} M^T and multiplying by R later is
         # mathematically identical but numerically injects ~eps/lam
         # null-space junk.
-        rhs = jnp.einsum("pkc,psk->pcs", Ml, Rt)
-        Qt = jnp.linalg.solve(Gl, rhs)
+        rhs = _level_anchor(
+            jnp.einsum("pkc,psk->pcs", Ml, Rt), struct, p
+        )
+        Qt = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
         out.append((C, jnp.swapaxes(Qt, -1, -2)))
     return out
 
@@ -481,7 +488,10 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
                                     dtype)
     ):
         Z = _row_anchor(
-            jnp.stack([C, Q], axis=1).reshape(n_pad, lev["c"]), struct
+            _level_anchor(
+                jnp.stack([C, Q], axis=1), struct, lev["p"]
+            ).reshape(n_pad, lev["c"]),
+            struct,
         )
         Zs.append(Z)
 
@@ -501,23 +511,26 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     for li in range(L - 1, -1, -1):   # li = level index (0 = root split)
         lev = struct.levels[li]
         s, p, c = lev["s"], lev["p"], lev["c"]
-        Zb = Zs[li].reshape(p, 2, s, c)
-        Tb = T[li].reshape(p, 2, s, c)
+        Zb = _level_anchor(Zs[li].reshape(p, 2, s, c), struct, p)
+        Tb = _level_anchor(T[li].reshape(p, 2, s, c), struct, p)
         P, Q = Zb[:, 0], Zb[:, 1]
         Pt, Qt_ = Tb[:, 0], Tb[:, 1]
-        upper = jnp.einsum("psc,psd->pcd", Q, Qt_)          # Q^T Qtilde
-        lower = jnp.einsum("psc,psd->pcd", P, Pt)           # P^T Ptilde
-        eye = jnp.eye(c, dtype=dtype)
-        zero = jnp.zeros((p, c, c), dtype=dtype)
-        core = jnp.concatenate(
-            [
-                jnp.concatenate([eye + zero, upper], axis=-1),
-                jnp.concatenate([lower, eye + zero], axis=-1),
-            ],
-            axis=-2,
-        )                                                    # (p, 2c, 2c)
-        core_inv = jnp.linalg.inv(core)
-        _, ld = jnp.linalg.slogdet(core)
+        # SMW core assembly/inversion feeds the logdet: always full f32
+        with jax.default_matmul_precision("highest"):
+            upper = jnp.einsum("psc,psd->pcd", Q, Qt_)      # Q^T Qtilde
+            lower = jnp.einsum("psc,psd->pcd", P, Pt)       # P^T Ptilde
+            eye = jnp.eye(c, dtype=dtype)
+            zero = jnp.zeros((p, c, c), dtype=dtype)
+            core = jnp.concatenate(
+                [
+                    jnp.concatenate([eye + zero, upper], axis=-1),
+                    jnp.concatenate([lower, eye + zero], axis=-1),
+                ],
+                axis=-2,
+            )                                                # (p, 2c, 2c)
+            core = _level_anchor(core, struct, p)
+            core_inv = jnp.linalg.inv(core)
+            _, ld = jnp.linalg.slogdet(core)
         logdet = logdet + jnp.sum(ld)
         levels_out[li] = (Zs[li], T[li], core_inv)
 
@@ -525,7 +538,7 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
             X = jnp.concatenate(T[:li], axis=1)
             X = _row_anchor(
                 _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X,
-                                  struct.remat),
+                                  struct.remat, struct),
                 struct,
             )
             if li > 1:
@@ -551,7 +564,28 @@ def _row_anchor(X, struct):
     )
 
 
-def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True):
+def _level_anchor(arr, struct, nblk):
+    """Pin a per-level blocked view (leading dim = ``nblk`` sibling
+    pairs): shard the block dim when it tiles the mesh, otherwise
+    replicate — the coarse levels near the root have fewer blocks than
+    devices, and an explicit (cheap, tiny-tensor) all-gather there beats
+    GSPMD's involuntary full-rematerialization fallback."""
+    if getattr(struct, "mesh", None) is None:
+        return arr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = int(np.prod(list(struct.mesh.shape.values())))
+    if nblk % ndev == 0:
+        spec = P(struct.shard_axis, *([None] * (arr.ndim - 1)))
+    else:
+        spec = P(*([None] * arr.ndim))
+    return jax.lax.with_sharding_constraint(
+        arr, NamedSharding(struct.mesh, spec)
+    )
+
+
+def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True,
+                      struct=None):
     """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to ``X``
     ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
     With ``remat`` each application recomputes in the backward pass,
@@ -563,6 +597,10 @@ def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True):
         Xb = X.reshape(p, 2, s, k)
         Zb = Z.reshape(p, 2, s, c)
         Tb = T.reshape(p, 2, s, c)
+        if struct is not None:
+            Xb = _level_anchor(Xb, struct, p)
+            Zb = _level_anchor(Zb, struct, p)
+            Tb = _level_anchor(Tb, struct, p)
         top = jnp.einsum("psc,psk->pck", Zb[:, 1], Xb[:, 1])  # Q^T X_r
         bot = jnp.einsum("psc,psk->pck", Zb[:, 0], Xb[:, 0])  # P^T X_l
         y = jnp.einsum(
@@ -599,7 +637,7 @@ def hodlr_solve(factors, struct, X):
         X = _row_anchor(
             _factor_apply_inv(
                 Z, T, core_inv, lev["p"], lev["s"], lev["c"], X,
-                struct.remat,
+                struct.remat, struct,
             ),
             struct,
         )

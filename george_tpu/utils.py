@@ -13,22 +13,49 @@ __all__ = [
     "numerical_gradient",
     "check_gradient",
     "full_precision_matmuls",
+    "pinned_full_precision",
 ]
 
 
 def full_precision_matmuls(fn):
-    """Trace ``fn`` with every dot/einsum pinned to full f32 precision.
+    """Trace ``fn`` with every dot/einsum pinned to (near-)full f32
+    precision.
 
-    On TPU the MXU runs f32 matmuls in bfloat16 passes by default
+    On TPU the MXU runs f32 matmuls in single bfloat16 passes by default
     (``Precision.DEFAULT``); the solvers' small contractions — Gram
     matrices for the ridge skeleton interpolation, SMW cores, ACA
     residual updates, CG/Lanczos recurrences, quadratic forms — are
     exactly the places where that 8-bit mantissa is catastrophic
     (measured: the N=1e5 hierarchical log-likelihood lands 9% off truth
-    under DEFAULT and 9e-4 off under HIGHEST, while throughput is
-    unchanged because the FLOPs live in the leaf factorizations, not
-    these contractions). Precision is baked into the jaxpr at trace
-    time, so the policy sticks through jit/vmap/grad/checkpoint."""
+    under DEFAULT and 9e-4 off under HIGHEST). Precision is baked into
+    the jaxpr at trace time, so the policy sticks through
+    jit/vmap/grad/checkpoint.
+
+    The mode is overridable with ``GEORGE_TPU_MATMUL_PRECISION`` for
+    experiments only: measured on the N=1e5 anchor, ``high`` (3-pass
+    bfloat16 compensation) is NOT sufficient here — the hierarchical
+    cascade amplifies the residual error to 36% log-likelihood error
+    (the ridge interpolation solves sit at the eps/lambda noise floor),
+    so ``highest`` is load-bearing and stays the default."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("GEORGE_TPU_MATMUL_PRECISION", "highest")
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(mode):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def pinned_full_precision(fn):
+    """Like :func:`full_precision_matmuls` but NOT overridable: for the
+    blocks whose conditioning makes anything below full f32 catastrophic
+    (the ridge interpolation solves, SMW core assembly/inversion, leaf
+    factorization) even when the experimental env knob relaxes the rest."""
     import jax
 
     @functools.wraps(fn)
