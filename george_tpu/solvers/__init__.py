@@ -26,3 +26,10 @@ try:
     __all__.append("SparseSolver")
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from .hmatrix import HMatrixSolver  # noqa: F401
+
+    __all__.append("HMatrixSolver")
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,633 @@
+# -*- coding: utf-8 -*-
+"""Strong-admissibility hierarchical solver (H-matrix) for 2-D/3-D data.
+
+The weak-admissibility HODLR partition (``solvers/hodlr.py``) compresses
+EVERY off-diagonal sibling coupling; in d >= 2 adjacent boxes share a
+boundary whose interaction rank grows with the boundary size, so the
+skeleton rank needed for a fixed accuracy grows with N. This module adds
+the standard strong-admissibility partition: interactions between
+*adjacent* leaf boxes stay exact (assembled on the fly, never stored),
+and only *well-separated* box pairs — the dual-tree interaction lists —
+are compressed, where the ranks genuinely are small and N-independent.
+
+The reference has no strong-admissibility code (its HODLR is weak, and
+its docs recommend sorted 1-D inputs, ``docs/user/solvers.rst``); this
+solver is the TPU-native answer to the same scaling problem its external
+ButterflyPACK backend (``basic.py:80-118``) was bolted on for.
+
+TPU-first design (no pointer trees, no recursion on device):
+
+* the dual-tree traversal runs once on the host and emits *static*
+  per-depth pair lists (padded, masked) — on device everything is
+  batched gathers + einsums over those lists;
+* far couplings use the same ridge-CUR skeleton interpolation as the
+  HODLR solver (``_all_lowrank``): ``K[a, b] ~= C @ Q^T`` with
+  ``Q = (M^T M + ridge)^{-1} M^T R`` solved against the *projected*
+  right-hand side (see the design invariant in ``hodlr.py``);
+* solves are preconditioned CG: the preconditioner is the existing
+  *weak* symmetric HODLR factorization ``K_w = W W^T`` — cheap, SPD,
+  and spectrally close to K, so CG converges in a handful of
+  iterations;
+* ``log det K = log det(W W^T) + log det(W^{-1} K W^{-T})``: the first
+  term is exact from the symmetric cascade, the second is a stochastic
+  Lanczos quadrature estimate of a matrix whose spectrum clusters at 1 —
+  a *preconditioned* SLQ with far lower variance and fewer Lanczos steps
+  than raw SLQ on K (the trick the sparse solver cannot use because it
+  has no factorization to precondition with).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..neighbors import morton_sort_samples
+from ..utils import full_precision_matmuls, pinned_full_precision
+from .hodlr import (
+    HODLRStructure,
+    _block_matrix,
+    _fps_pivots,
+    build_structure,
+    hodlr_factor_sym,
+    hodlr_sqrt_solve,
+    select_aca_pivots,
+)
+from .sparse import slq_logdet
+
+__all__ = ["HMatrixSolver", "HMatrixStructure", "hmatrix_compress",
+           "hmatrix_matvec", "pcg_solve"]
+
+
+# ---------------------------------------------------------------------------
+# Static structure (host-side)
+# ---------------------------------------------------------------------------
+
+class HMatrixStructure(object):
+    """Static near/far partition of a padded binary box tree.
+
+    Same padding scheme as :class:`HODLRStructure` (``n_pad = m * 2^L``);
+    boxes at depth ``d`` are the ``2^d`` contiguous index ranges of size
+    ``n_pad >> d``. The dual-tree traversal splits every box pair into
+
+    * ``far[d]``: pairs admissible at depth ``d`` (well-separated:
+      ``max(diam_a, diam_b) <= eta * dist(a, b)``), compressed;
+    * near leaf pairs: adjacent leaves, kept exact (ELL neighbor lists).
+    """
+
+    def __init__(self, n, x_sorted, min_size=64, rank=16, eta=1.0,
+                 seed=42):
+        self.n = int(n)
+        self.eta = float(eta)
+        self.seed = int(seed)
+        L = 0
+        while (self.n + (1 << (L + 1)) - 1) // (1 << (L + 1)) >= min_size:
+            L += 1
+        self.L = L
+        self.m = (self.n + (1 << L) - 1) >> L
+        self.n_pad = self.m << L
+        self.rank = min(int(rank), self.m)
+        B = 1 << L
+        self.B = B
+
+        x = np.asarray(x_sorted, dtype=np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
+        xpad = np.concatenate(
+            [x, np.repeat(x[-1:], self.n_pad - self.n, axis=0)], axis=0
+        )
+        valid = np.zeros(self.n_pad, dtype=bool)
+        valid[: self.n] = True
+
+        # box bounds per depth from VALID points only (padded rows repeat
+        # the last point, which would otherwise shrink nothing but can
+        # leave a fully-padded box degenerate — mask those)
+        self._lo, self._hi, self._nonempty = [], [], []
+        for d in range(L + 1):
+            s = self.n_pad >> d
+            xb = xpad.reshape(1 << d, s, -1)
+            vb = valid.reshape(1 << d, s)
+            big = np.where(vb[..., None], xb, np.inf)
+            small = np.where(vb[..., None], xb, -np.inf)
+            self._lo.append(big.min(axis=1))
+            self._hi.append(small.max(axis=1))
+            self._nonempty.append(vb.any(axis=1))
+
+        # dual-tree traversal (host recursion; depth <= ~20)
+        far = [[] for _ in range(L + 1)]
+        near = []
+
+        def boxdist(d, a, b):
+            gap = np.maximum(
+                0.0,
+                np.maximum(
+                    self._lo[d][a] - self._hi[d][b],
+                    self._lo[d][b] - self._hi[d][a],
+                ),
+            )
+            return float(np.sqrt((gap ** 2).sum()))
+
+        def diam(d, a):
+            e = self._hi[d][a] - self._lo[d][a]
+            return float(np.sqrt((e ** 2).sum()))
+
+        def admissible(d, a, b):
+            if not (self._nonempty[d][a] and self._nonempty[d][b]):
+                return True  # empty boxes couple nothing: compress-as-zero
+            dist = boxdist(d, a, b)
+            return max(diam(d, a), diam(d, b)) <= self.eta * dist
+
+        def traverse(d, a, b):
+            if a == b:
+                if d < L:
+                    traverse(d + 1, 2 * a, 2 * a)
+                    traverse(d + 1, 2 * a, 2 * a + 1)
+                    traverse(d + 1, 2 * a + 1, 2 * a + 1)
+                return
+            if admissible(d, a, b):
+                far[d].append((a, b))
+            elif d == L:
+                near.append((a, b))
+            else:
+                for ca in (2 * a, 2 * a + 1):
+                    for cb in (2 * b, 2 * b + 1):
+                        traverse(d + 1, ca, cb)
+
+        traverse(0, 0, 0)
+
+        # FPS skeleton pivots per box per depth (block-local -> absolute)
+        rng = np.random.default_rng(seed)
+        self.piv = {}
+        self.far = []
+        for d in range(L + 1):
+            if not far[d]:
+                continue
+            s = self.n_pad >> d
+            c = min(self.rank, s)
+            if d not in self.piv:
+                xb = xpad.reshape(1 << d, s, -1)
+                vb = valid.reshape(1 << d, s)
+                local = _fps_pivots(xb, vb, c, rng)
+                base = (np.arange(1 << d, dtype=np.int64) * s)[:, None]
+                self.piv[d] = base + local
+            pairs = np.asarray(far[d], dtype=np.int64)
+            self.far.append({
+                "d": d, "s": s, "c": c,
+                "a": pairs[:, 0].astype(np.int32),
+                "b": pairs[:, 1].astype(np.int32),
+                "piv": self.piv[d].astype(np.int32),
+            })
+
+        # near leaf pairs -> symmetric ELL lists (row i holds all j != i
+        # adjacent to i; the leaf diagonal is handled separately)
+        lists = [[] for _ in range(B)]
+        for (i, j) in near:
+            lists[i].append(j)
+            lists[j].append(i)
+        q_max = max((len(l) for l in lists), default=0)
+        q_max = max(q_max, 1)
+        nbr = np.zeros((B, q_max), dtype=np.int32)
+        nmask = np.zeros((B, q_max), dtype=bool)
+        for i, l in enumerate(lists):
+            nbr[i, : len(l)] = l
+            nmask[i, : len(l)] = True
+        self.near_nbr = nbr
+        self.near_mask = nmask
+        self.n_near = len(near)
+        self.n_far = int(sum(len(f) for f in far))
+
+
+# ---------------------------------------------------------------------------
+# Device ops
+# ---------------------------------------------------------------------------
+
+def _gather_blocks(xpad, valid, idx):
+    """``idx``: (..., t) absolute rows -> coords (..., t, dim) + mask."""
+    return xpad[idx], valid[idx]
+
+
+@pinned_full_precision
+def hmatrix_compress(pair_fn, theta, xpad, valid, hs):
+    """Ridge-CUR factors ``K[a, b] ~= C @ Q^T`` for every far pair.
+
+    Same interpolation as the weak solver's ``_all_lowrank`` — and the
+    same design invariant: ``Q^T = G^{-1} (M^T R)`` with the ridge
+    pseudo-inverse solved against the PROJECTED right-hand side.
+    Returns a list (one entry per populated depth) of ``(C, Q)`` with
+    shapes ``(P, s, c)``.
+    """
+    dtype = xpad.dtype
+    out = []
+    for lev in hs.far:
+        s, c = lev["s"], lev["c"]
+        a, b = jnp.asarray(lev["a"]), jnp.asarray(lev["b"])
+        piv = jnp.asarray(lev["piv"])                  # (B_d, c) absolute
+        base = jnp.asarray(
+            (np.arange(s, dtype=np.int64))[None, :], dtype=jnp.int32
+        )
+        rows_a = a[:, None] * s + base                 # (P, s)
+        cols_b = b[:, None] * s + base
+        I_a = piv[a]                                   # (P, c)
+        J_b = piv[b]
+
+        xI, vI = _gather_blocks(xpad, valid, I_a)
+        xJ, vJ = _gather_blocks(xpad, valid, J_b)
+        xA, vA = _gather_blocks(xpad, valid, rows_a)
+        xB, vB = _gather_blocks(xpad, valid, cols_b)
+
+        blk = jax.vmap(
+            lambda xa, va, xb_, vb_: _block_matrix(
+                pair_fn, theta, xa, va, xb_, vb_, remat=False
+            )
+        )
+        M = blk(xI, vI, xJ, vJ)                        # (P, c, c)
+        C = blk(xA, vA, xJ, vJ)                        # (P, s, c)
+        R = blk(xI, vI, xB, vB)                        # (P, c, s)
+
+        eps = 100.0 * jnp.finfo(dtype).eps
+        G = jnp.einsum("pki,pkj->pij", M, M)
+        lam = (
+            eps * jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
+            + jnp.finfo(dtype).eps
+        )
+        G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
+        rhs = jnp.einsum("pkc,pks->pcs", M, R)         # projected M^T R
+        Qt = jnp.linalg.solve(G, rhs)                  # (P, c, s)
+        out.append((C, jnp.swapaxes(Qt, -1, -2)))
+    return out
+
+
+@full_precision_matmuls
+def hmatrix_matvec(pair_fn, theta, xpad, valid, diag_pad, hs, far_factors,
+                   X, include_diag=True):
+    """``(K_strong + diag) X`` — exact near field assembled on the fly,
+    compressed far field from ``far_factors``.
+
+    ``X``: ``(n_pad,)`` or ``(n_pad, k)``.
+    """
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    k = X.shape[1]
+    B, m = hs.B, hs.m
+    Xb = X.reshape(B, m, k)
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+
+    # --- leaf diagonal blocks --------------------------------------------
+    Kbb = jax.vmap(
+        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
+                                     remat=True)
+    )(xb, vb)
+    Y = jnp.einsum("bij,bjk->bik", Kbb, Xb)
+    if include_diag:
+        Y = Y + diag_pad.reshape(B, m, 1) * Xb
+
+    # --- exact near field: one neighbor slot at a time (bounds peak
+    # memory at one (B, m, m) block batch instead of q_max of them) ------
+    nbr = jnp.asarray(hs.near_nbr)                     # (B, q)
+    nmask = jnp.asarray(hs.near_mask)
+
+    def near_slot(q, Yacc):
+        j = nbr[:, q]
+        Kij = jax.vmap(
+            lambda xa, va, xj, vj_: _block_matrix(
+                pair_fn, theta, xa, va, xj, vj_, remat=True
+            )
+        )(xb, vb, xb[j], vb[j])                        # (B, m, m)
+        contrib = jnp.einsum("bij,bjk->bik", Kij, Xb[j])
+        return Yacc + jnp.where(nmask[:, q, None, None], contrib, 0.0)
+
+    Y = jax.lax.fori_loop(0, nbr.shape[1], near_slot, Y)
+    Y = Y.reshape(hs.n_pad, k)
+
+    # --- compressed far field --------------------------------------------
+    for lev, (C, Q) in zip(hs.far, far_factors):
+        s = lev["s"]
+        a, b = jnp.asarray(lev["a"]), jnp.asarray(lev["b"])
+        Xd = X.reshape(hs.n_pad // s, s, k)
+        xa_blk = Xd[a]                                 # (P, s, k)
+        xb_blk = Xd[b]
+        # y_a += C (Q^T x_b);  y_b += Q (C^T x_a)   [K_ba = K_ab^T]
+        ya = jnp.einsum("psc,pck->psk", C,
+                        jnp.einsum("psc,psk->pck", Q, xb_blk))
+        yb = jnp.einsum("psc,pck->psk", Q,
+                        jnp.einsum("psc,psk->pck", C, xa_blk))
+        Yd = jnp.zeros_like(Xd).at[a].add(ya).at[b].add(yb)
+        Y = Y + Yd.reshape(hs.n_pad, k)
+
+    return Y[:, 0] if squeeze else Y
+
+
+def pcg_solve(matvec, precond, b, tol=1e-10, maxiter=200):
+    """Preconditioned CG for SPD ``A x = b`` with an SPD preconditioner
+    apply ``precond(r) ~= A^{-1} r`` (vector or multi-RHS)."""
+    squeeze = b.ndim == 1
+    B = b[:, None] if squeeze else b
+
+    X = jnp.zeros_like(B)
+    R = B
+    Z = precond(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+    b2 = jnp.maximum(jnp.sum(B * B, axis=0), jnp.finfo(B.dtype).tiny)
+
+    def cond(state):
+        X, R, P, rz, it = state
+        return jnp.logical_and(
+            it < maxiter,
+            jnp.any(jnp.sum(R * R, axis=0) / b2 > tol * tol),
+        )
+
+    def body(state):
+        X, R, P, rz, it = state
+        AP = matvec(P)
+        denom = jnp.sum(P * AP, axis=0)
+        alpha = rz / jnp.where(denom > 0, denom, 1.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = precond(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, it + 1
+
+    X, R, _, _, iters = jax.lax.while_loop(
+        cond, body, (X, R, P, rz, jnp.zeros((), jnp.int32))
+    )
+    return (X[:, 0] if squeeze else X), iters
+
+
+# ---------------------------------------------------------------------------
+# Solver (george protocol)
+# ---------------------------------------------------------------------------
+
+class HMatrixSolver(object):
+    """Strong-admissibility hierarchical solver with the george solver
+    protocol — the high-accuracy option for 2-D/3-D inputs where the
+    weak (HODLR) partition needs impractically large ranks.
+
+    :param kernel: covariance kernel.
+    :param min_size: leaf box size floor (as HODLRSolver).
+    :param rank: skeleton rank for the *far* couplings (strong
+        admissibility keeps these genuinely low-rank, so modest values
+        go far) and for the weak preconditioner.
+    :param eta: admissibility parameter; a pair is far iff
+        ``max(diam) <= eta * dist``. Smaller = more exact near pairs =
+        more accurate and more expensive.
+    :param precond_rank: skeleton rank of the weak (HODLR)
+        preconditioner; CG convergence (and the SLQ correction variance)
+        is governed by the *preconditioner's* accuracy, and in d >= 2
+        the weak partition needs more rank than the strong far field —
+        default ``4 * rank``. NOTE: skeleton ranks cap at the leaf size,
+        so ``min_size`` must be at least ``precond_rank`` for the
+        preconditioner (and the SLQ logdet correction) to reach full
+        quality.
+    :param cg_tol / maxiter: preconditioned-CG controls.
+    :param num_probes / num_steps: SLQ controls for the logdet
+        *correction* (spectrum clusters at 1, so few steps suffice).
+    """
+
+    matrix_free = True
+
+    def __init__(self, kernel, min_size=64, rank=16, eta=1.0,
+                 precond_rank=None, cg_tol=1e-10, maxiter=200,
+                 num_probes=16, num_steps=12, seed=42, sort=True,
+                 verbose=False, **kwargs):
+        self.kernel = kernel
+        self.min_size = int(min_size)
+        self.rank = int(rank)
+        self.precond_rank = (
+            4 * self.rank if precond_rank is None else int(precond_rank)
+        )
+        self.eta = float(eta)
+        self.cg_tol = float(cg_tol)
+        self.maxiter = int(maxiter)
+        self.num_probes = int(num_probes)
+        self.num_steps = int(num_steps)
+        self.seed = int(seed)
+        self.sort = bool(sort)
+        self.verbose = bool(verbose)
+        self.computed = False
+        self.log_determinant = None
+
+    def compute(self, x, yerr=0.0, nns=None, **kwargs):
+        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
+        n = len(x)
+        yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
+        if yerr2.size == 1:
+            yerr2 = yerr2 * np.ones(n)
+
+        self._perm = (
+            morton_sort_samples(x) if self.sort
+            else np.arange(n, dtype=np.int64)
+        )
+        xs = x[self._perm]
+        hs = HMatrixStructure(
+            n, xs, min_size=self.min_size, rank=self.rank, eta=self.eta,
+            seed=self.seed,
+        )
+        self._hs = hs
+
+        xpad = np.concatenate(
+            [xs, np.repeat(xs[-1:], hs.n_pad - n, axis=0)], axis=0
+        )
+        valid = np.zeros(hs.n_pad, dtype=bool)
+        valid[:n] = True
+        diag_pad = np.ones(hs.n_pad)
+        diag_pad[:n] = yerr2[self._perm]
+
+        self._x = x
+        self._xpad = jnp.asarray(xpad)
+        self._valid = jnp.asarray(valid)
+        self._diag_pad = jnp.asarray(diag_pad)
+        pair = self.kernel.pair_fn
+        theta = jnp.asarray(self.kernel.parameter_vector)
+        self._theta = theta
+
+        # strong operator: stored far factors at the compute-time theta;
+        # _mv_theta recompresses inside, so jvp-in-theta is exact
+        self._compress_fn = jax.jit(
+            lambda th: hmatrix_compress(pair, th, self._xpad, self._valid,
+                                        hs)
+        )
+        self._far = self._compress_fn(theta)
+
+        def mv(Y):
+            return hmatrix_matvec(
+                pair, theta, self._xpad, self._valid, self._diag_pad, hs,
+                self._far, Y,
+            )
+
+        self._mv = jax.jit(mv)
+
+        def mv_theta(th, Y):
+            fac = hmatrix_compress(pair, th, self._xpad, self._valid, hs)
+            return hmatrix_matvec(
+                pair, th, self._xpad, self._valid, self._diag_pad, hs,
+                fac, Y,
+            )
+
+        self._mv_theta = jax.jit(mv_theta)
+
+        # weak symmetric HODLR preconditioner K_w = W W^T (SPD)
+        st = build_structure(
+            n, min_size=self.min_size, rank=self.precond_rank,
+            seed=self.seed, x_sorted=xs,
+        )
+        self._st = st
+        if st.L > 0:
+            select_aca_pivots(pair, np.asarray(theta), xpad, valid, st)
+        self._sym = jax.jit(
+            lambda th: hodlr_factor_sym(
+                pair, th, self._xpad, self._valid, self._diag_pad, st
+            )
+        )(theta)
+        sym_factors, ld_weak = self._sym
+
+        def precond(R):
+            return hodlr_sqrt_solve(
+                sym_factors, st,
+                hodlr_sqrt_solve(sym_factors, st, R),
+                transpose=True,
+            )
+
+        def solve(B):
+            return pcg_solve(
+                self._mv, precond, B, tol=self.cg_tol,
+                maxiter=self.maxiter,
+            )
+
+        self._solve = jax.jit(solve)
+        self._precond = precond
+
+        # log det K = log det(W W^T) + SLQ(log det(W^{-1} K W^{-T}))
+        def corr_mv(v):
+            return hodlr_sqrt_solve(
+                sym_factors, st,
+                self._mv(
+                    hodlr_sqrt_solve(sym_factors, st, v, transpose=True)
+                ),
+            )
+
+        ld_corr = slq_logdet(
+            jax.jit(corr_mv), hs.n_pad, self._xpad.dtype,
+            jax.random.PRNGKey(self.seed),
+            num_probes=self.num_probes, num_steps=self.num_steps,
+        )
+        ld = float(ld_weak) + float(ld_corr)
+        if not np.isfinite(ld):
+            raise np.linalg.LinAlgError(
+                "H-matrix log-determinant diverged"
+            )
+        self.log_determinant = ld
+        self.computed = True
+
+    # -- protocol ----------------------------------------------------------
+
+    def _pad(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        ys = y[self._perm]
+        widths = ((0, self._hs.n_pad - len(ys)),) + ((0, 0),) * (
+            y.ndim - 1
+        )
+        return jnp.asarray(np.pad(ys, widths))
+
+    def _unpad(self, z):
+        z = np.asarray(z)[: len(self._perm)]
+        out = np.empty_like(z)
+        out[self._perm] = z
+        return out
+
+    def apply_inverse(self, y, in_place=False):
+        z, _ = self._solve(self._pad(y))
+        return self._unpad(z)
+
+    def dot_solve(self, y):
+        yp = self._pad(y)
+        z, _ = self._solve(yp)
+        return float(jnp.dot(yp, z))
+
+    def apply_forward(self, y, i=0):
+        yp = self._pad(y)
+        if i == 0:
+            return self._unpad(self._mv(yp))
+        tangent = jnp.zeros_like(self._theta).at[i - 1].set(1.0)
+        _, Z = jax.jvp(
+            lambda th: self._mv_theta(th, yp), (self._theta,), (tangent,)
+        )
+        return self._unpad(Z)
+
+    def get_inverse(self):
+        return self.apply_inverse(np.eye(len(self._perm)))
+
+    def apply_sqrt(self, r):
+        raise NotImplementedError(
+            "apply_sqrt is not defined for the iterative H-matrix solver"
+        )
+
+    # -- matrix-free gradient (reference Regime B, gp.py:506-562) ----------
+
+    def grad_log_likelihood(self, gp, x, alpha, unfrozen_mask):
+        alpha = np.asarray(alpha, dtype=np.float64)
+        theta = self._theta
+        nparam = int(theta.shape[0])
+        key = jax.random.PRNGKey(self.seed + 1)
+        probes_np = np.asarray(
+            jax.random.rademacher(
+                key, (self.num_probes, len(alpha)),
+                dtype=self._xpad.dtype,
+            )
+        ).T
+        probes = self._pad(probes_np)
+        alpha_p = self._pad(alpha)
+        Kinv_u, _ = self._solve(probes)
+
+        grads = np.zeros(nparam)
+        for k in range(nparam):
+            tangent = jnp.zeros_like(theta).at[k].set(1.0)
+            _, dK_alpha = jax.jvp(
+                lambda th: self._mv_theta(th, alpha_p), (theta,),
+                (tangent,),
+            )
+            alpha_term = 0.5 * float(jnp.dot(alpha_p, dK_alpha))
+            _, dK_u = jax.jvp(
+                lambda th: self._mv_theta(th, probes), (theta,),
+                (tangent,),
+            )
+            trace_est = float(jnp.mean(jnp.sum(Kinv_u * dK_u, axis=0)))
+            grads[k] = alpha_term - 0.5 * trace_est
+
+        mean_g = []
+        if len(gp.mean):
+            mu_g = gp._call_mean_gradient(np.asarray(x))
+            mean_g = list(np.dot(mu_g, alpha))
+        wn_g = []
+        if len(gp.white_noise):
+            wn = gp._call_white_noise(np.asarray(x))
+            wng = gp._call_white_noise_gradient(np.asarray(x))
+            diag_Kinv = self._unpad(
+                jnp.mean(probes * Kinv_u, axis=1)
+            )
+            diag_A = alpha ** 2 - diag_Kinv
+            wn_g = list(
+                0.5 * np.sum((np.exp(wn) * diag_A)[None, :] * wng, axis=1)
+            )
+
+        kmask = gp.kernel.unfrozen_mask
+        return np.array(mean_g + wn_g + list(grads[kmask]))
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for k in ("_mv", "_mv_theta", "_solve", "_precond",
+                  "_compress_fn", "_sym", "_far", "_hs", "_st",
+                  "_xpad", "_valid", "_diag_pad", "_theta"):
+            state.pop(k, None)
+        state["computed"] = False
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
