@@ -161,6 +161,19 @@ def _device_solve_cols(solver):
 
         return solve_hodlr
 
+    if getattr(solver, "_hs", None) is not None:  # strong H-matrix path
+        hperm = jnp.asarray(solver._perm)
+        n_pad = solver._hs.n_pad
+        hsolve = solver._solve
+
+        def solve_hmat(R):
+            pad = jnp.zeros((n_pad - R.shape[0], R.shape[1]), R.dtype)
+            Rp = jnp.concatenate([R[hperm], pad], axis=0)
+            Z, _ = hsolve(Rp)
+            return jnp.zeros_like(R).at[hperm].set(Z[: R.shape[0]])
+
+        return solve_hmat
+
     if getattr(solver, "_solve", None) is not None:  # sparse/CG path
         theta = solver._theta
         pad_rows = solver._pad_rows
@@ -184,8 +197,8 @@ def sharded_predict(mesh, gp, y, t, return_var=True):
     """Posterior prediction with the test-point axis sharded over the mesh
     (embarrassingly parallel: each device computes its slice of the cross
     covariance and the variance reduction). Works with every solver —
-    exact, hierarchical (incl. ``sym=1``) and sparse — through each
-    solver's own device-side ``K^{-1}`` apply."""
+    exact, hierarchical (incl. ``sym=1``), sparse and strong H-matrix —
+    through each solver's own device-side ``K^{-1}`` apply."""
     gp.recompute()
     alpha = jnp.asarray(gp._compute_alpha(np.asarray(y), True))
     x = jnp.asarray(gp._x)

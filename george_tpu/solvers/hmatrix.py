@@ -495,9 +495,16 @@ class HMatrixSolver(object):
                 transpose=True,
             )
 
+        # f32 cannot reach 1e-10 residuals: floor the tolerance at the
+        # dtype's achievable accuracy so CG terminates instead of
+        # spinning to maxiter on TPU
+        eff_tol = max(
+            self.cg_tol, 30.0 * float(np.finfo(self._xpad.dtype).eps)
+        )
+
         def solve(B):
             return pcg_solve(
-                self._mv, precond, B, tol=self.cg_tol,
+                self._mv, precond, B, tol=eff_tol,
                 maxiter=self.maxiter,
             )
 

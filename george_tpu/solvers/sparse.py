@@ -284,10 +284,16 @@ class SparseSolver(object):
         kdiag = jax.vmap(lambda xi: pair(theta, xi, xi))(self._x)
         self._pdiag = kdiag + diag
 
+        # f32 cannot reach 1e-10 residuals: floor the tolerance at the
+        # dtype's achievable accuracy so CG terminates on TPU
+        eff_tol = max(
+            self.cg_tol, 30.0 * float(np.finfo(self._x.dtype).eps)
+        )
+
         def solve(th, B):
             return cg_solve(
                 lambda Y: ell_matvec(pair, th, self._x, nbr, mask, diag, Y),
-                B, self._pdiag, tol=self.cg_tol, maxiter=self.maxiter,
+                B, self._pdiag, tol=eff_tol, maxiter=self.maxiter,
             )
 
         self._solve = jax.jit(solve)

@@ -172,3 +172,24 @@ def test_hodlr_mesh_sharded_gp():
     mu1, v1 = gp1.predict(y, t, return_var=True)
     assert np.allclose(mu0, mu1, atol=1e-8)
     assert np.allclose(v0, v1, atol=1e-8)
+
+
+@needs_devices
+def test_sharded_predict_hmatrix():
+    """sharded_predict through the strong-admissibility solver's
+    preconditioned-CG device solve matches gp.predict."""
+    from george_tpu.solvers import HMatrixSolver
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 10, (500, 2))
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(500)
+    gp = GP(1.0 * kernels.ExpSquaredKernel([1.5, 1.5], ndim=2),
+            solver=HMatrixSolver, min_size=64, rank=16, precond_rank=64)
+    gp.compute(x, 0.1)
+
+    t = rng.uniform(0, 10, (101, 2))
+    mu_ref, var_ref = gp.predict(y, t, return_var=True)
+    mesh = parallel.chain_mesh()
+    mu, var = parallel.sharded_predict(mesh, gp, y, t)
+    assert np.allclose(mu, mu_ref, atol=1e-6)
+    assert np.allclose(var, var_ref, atol=1e-6)
