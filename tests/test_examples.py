@@ -72,3 +72,13 @@ def test_hyper_example():
         runpy.run_path("examples/hyper.py", run_name="__main__")
     finally:
         sys.argv = argv
+
+
+def test_spatial_example():
+    """2-D strong-admissibility workflow (examples/spatial.py)."""
+    argv = sys.argv
+    try:
+        sys.argv = ["spatial.py", "1200"]
+        runpy.run_path("examples/spatial.py", run_name="__main__")
+    finally:
+        sys.argv = argv
