@@ -22,6 +22,7 @@ def main():
     parser.add_argument("--samples", type=int, default=200)
     parser.add_argument("--max-depth", type=int, default=8)
     parser.add_argument("--segment", type=int, default=None)
+    parser.add_argument("--target-accept", type=float, default=0.8)
     args = parser.parse_args()
 
     import jax
@@ -61,6 +62,7 @@ def main():
         jax.random.PRNGKey(0), log_prob, jnp.asarray(p0),
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
+        target_accept=args.target_accept,
     )
     # a host fetch, not block_until_ready: over the serving tunnel only a
     # device->host transfer reliably waits for remote completion
@@ -73,6 +75,7 @@ def main():
         jax.random.PRNGKey(1), log_prob, jnp.asarray(p0),
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
+        target_accept=args.target_accept,
     )
     _ = float(np.asarray(samples).ravel()[0])
     timed = time.perf_counter() - t0

@@ -361,13 +361,23 @@ class WarmupSchedule(object):
         self.window_end = window_end
 
 
-def _dual_averaging_init(eps0, dtype):
+def _dual_averaging_init(eps0, dtype, nchains=None):
+    """Dual-averaging state, PER CHAIN: each chain adapts its own step
+    size against its own acceptance statistic (Stan semantics). A single
+    pooled step size measurably fails when chains sit in regions of
+    different curvature — measured on a 7-param GP posterior: pooled eps
+    gave per-chain divergence rates [0.30, 0.33, 0.88, 0.0] with one
+    chain at acceptance 0.34 and another pinned at 1.0."""
+    eps0 = jnp.asarray(eps0, dtype)
+    if nchains is not None and eps0.ndim == 0:
+        eps0 = eps0 * jnp.ones((nchains,), dtype)
+    shape = eps0.shape
     return {
-        "log_eps": jnp.log(jnp.asarray(eps0, dtype)),
-        "log_eps_avg": jnp.zeros((), dtype),
-        "h_sum": jnp.zeros((), dtype),
-        "mu": jnp.log(10.0 * jnp.asarray(eps0, dtype)),
-        "count": jnp.zeros((), dtype),
+        "log_eps": jnp.log(eps0),
+        "log_eps_avg": jnp.zeros(shape, dtype),
+        "h_sum": jnp.zeros(shape, dtype),
+        "mu": jnp.log(10.0 * eps0),
+        "count": jnp.zeros(shape, dtype),
     }
 
 
@@ -404,21 +414,23 @@ def _make_value_and_grad(log_prob_fn):
 def _make_transition(value_and_grad, algorithm, num_leapfrog, max_depth):
     if algorithm == "nuts":
         def transition(keys, qs, lps, gs, eps, inv_mass):
+            eps = eps * jnp.ones(qs.shape[0], qs.dtype)   # per-chain
             q, lp, g, acc, depth, div = jax.vmap(
-                lambda k, q_, lp_, g_: nuts_transition(
-                    k, q_, lp_, g_, value_and_grad, eps, inv_mass,
+                lambda k, q_, lp_, g_, e_: nuts_transition(
+                    k, q_, lp_, g_, value_and_grad, e_, inv_mass,
                     max_depth=max_depth,
                 )
-            )(keys, qs, lps, gs)
+            )(keys, qs, lps, gs, eps)
             return q, lp, g, acc, {"depth": depth, "diverging": div}
     else:
         def transition(keys, qs, lps, gs, eps, inv_mass):
+            eps = eps * jnp.ones(qs.shape[0], qs.dtype)   # per-chain
             q, lp, g, acc = jax.vmap(
-                lambda k, q_, lp_, g_: hmc_transition(
-                    k, q_, lp_, g_, value_and_grad, eps, inv_mass,
+                lambda k, q_, lp_, g_, e_: hmc_transition(
+                    k, q_, lp_, g_, value_and_grad, e_, inv_mass,
                     num_leapfrog,
                 )
-            )(keys, qs, lps, gs)
+            )(keys, qs, lps, gs, eps)
             return q, lp, g, acc, {}
     return transition
 
@@ -447,9 +459,9 @@ def _warmup_chunk(step_keys, carry, in_slow, window_end, log_prob_fn,
         keys = jax.random.split(key, nchains)
         eps = jnp.exp(da["log_eps"])
         q, lp, g, acc, _ = transition(keys, q, lp, g, eps, inv_mass)
-        # cross-chain mean acceptance -> shared step size (psum when
-        # sharded over the chain mesh axis)
-        da = _dual_averaging_update(da, jnp.mean(acc), target_accept)
+        # per-chain acceptance -> per-chain step size (elementwise on
+        # the sharded chain axis; no collective needed)
+        da = _dual_averaging_update(da, acc, target_accept)
 
         # pooled cross-chain Welford over the slow windows
         cnt, mean, m2 = welford
@@ -545,7 +557,7 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
 
     carry = (
         p0, lp0, g0,
-        _dual_averaging_init(0.1, dtype),
+        _dual_averaging_init(0.1, dtype, nchains=nchains),
         jnp.ones(dim, dtype),
         (
             jnp.zeros((), dtype),        # Welford count

@@ -50,7 +50,9 @@ from .hodlr import (
     _block_matrix,
     _fps_pivots,
     build_structure,
+    hodlr_factor,
     hodlr_factor_sym,
+    hodlr_solve,
     hodlr_sqrt_solve,
     select_aca_pivots,
 )
@@ -384,6 +386,11 @@ class HMatrixSolver(object):
         so ``min_size`` must be at least ``precond_rank`` for the
         preconditioner (and the SLQ logdet correction) to reach full
         quality.
+    :param nystrom_rank: rank of the f32 (TPU) Nystrom
+        preconditioner — global FPS pivots, exact closed-form inverse
+        and square root. Raise it if CG iteration counts climb on rough
+        kernels. (In f64 the weak symmetric HODLR cascade is used
+        instead; see ``precond_rank``.)
     :param cg_tol / maxiter: preconditioned-CG controls.
     :param num_probes / num_steps: SLQ controls for the logdet
         *correction* (spectrum clusters at 1, so few steps suffice).
@@ -392,15 +399,16 @@ class HMatrixSolver(object):
     matrix_free = True
 
     def __init__(self, kernel, min_size=64, rank=16, eta=1.0,
-                 precond_rank=None, cg_tol=1e-10, maxiter=200,
-                 num_probes=16, num_steps=12, seed=42, sort=True,
-                 verbose=False, **kwargs):
+                 precond_rank=None, nystrom_rank=256, cg_tol=1e-10,
+                 maxiter=200, num_probes=16, num_steps=12, seed=42,
+                 sort=True, verbose=False, **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         self.rank = int(rank)
         self.precond_rank = (
             4 * self.rank if precond_rank is None else int(precond_rank)
         )
+        self.nystrom_rank = int(nystrom_rank)
         self.eta = float(eta)
         self.cg_tol = float(cg_tol)
         self.maxiter = int(maxiter)
@@ -473,58 +481,143 @@ class HMatrixSolver(object):
 
         self._mv_theta = jax.jit(mv_theta)
 
-        # weak symmetric HODLR preconditioner K_w = W W^T (SPD)
-        st = build_structure(
-            n, min_size=self.min_size, rank=self.precond_rank,
-            seed=self.seed, x_sorted=xs,
-        )
-        self._st = st
-        if st.L > 0:
-            select_aca_pivots(pair, np.asarray(theta), xpad, valid, st)
-        self._sym = jax.jit(
-            lambda th: hodlr_factor_sym(
-                pair, th, self._xpad, self._valid, self._diag_pad, st
-            )
-        )(theta)
-        sym_factors, ld_weak = self._sym
-
-        def precond(R):
-            return hodlr_sqrt_solve(
-                sym_factors, st,
-                hodlr_sqrt_solve(sym_factors, st, R),
-                transpose=True,
-            )
-
         # f32 cannot reach 1e-10 residuals: floor the tolerance at the
-        # dtype's achievable accuracy so CG terminates instead of
-        # spinning to maxiter on TPU
+        # dtype's achievable accuracy so the iteration terminates instead
+        # of spinning to maxiter on TPU
         eff_tol = max(
             self.cg_tol, 30.0 * float(np.finfo(self._xpad.dtype).eps)
         )
+        use_f64 = self._xpad.dtype == jnp.float64
 
-        def solve(B):
-            return pcg_solve(
-                self._mv, precond, B, tol=eff_tol,
-                maxiter=self.maxiter,
+        self._st = None
+        if use_f64:
+            # f64: weak symmetric HODLR cascade K_w = W W^T at
+            # precond_rank -> SPD preconditioner for CG and the
+            # low-variance SLQ logdet sandwich (stable in f64 only)
+            st = build_structure(
+                n, min_size=self.min_size, rank=self.precond_rank,
+                seed=self.seed, x_sorted=xs,
             )
+            self._st = st
+            if st.L > 0:
+                select_aca_pivots(pair, np.asarray(theta), xpad, valid, st)
+            self._sym = jax.jit(
+                lambda th: hodlr_factor_sym(
+                    pair, th, self._xpad, self._valid, self._diag_pad, st
+                )
+            )(theta)
+            sym_factors, ld_weak = self._sym
 
-        self._solve = jax.jit(solve)
-        self._precond = precond
+            def precond(R):
+                return hodlr_sqrt_solve(
+                    sym_factors, st,
+                    hodlr_sqrt_solve(sym_factors, st, R),
+                    transpose=True,
+                )
 
-        # log det K = log det(W W^T) + SLQ(log det(W^{-1} K W^{-T}))
-        def corr_mv(v):
-            return hodlr_sqrt_solve(
-                sym_factors, st,
-                self._mv(
-                    hodlr_sqrt_solve(sym_factors, st, v, transpose=True)
-                ),
+            def solve(B):
+                return pcg_solve(
+                    self._mv, precond, B, tol=eff_tol,
+                    maxiter=self.maxiter,
+                )
+
+            self._solve = jax.jit(solve)
+            self._precond = precond
+
+            # log det K = log det(W W^T) + SLQ(log det(W^-1 K W^-T))
+            def corr_mv(v):
+                return hodlr_sqrt_solve(
+                    sym_factors, st,
+                    self._mv(
+                        hodlr_sqrt_solve(sym_factors, st, v,
+                                         transpose=True)
+                    ),
+                )
+
+            ld_corr = slq_logdet(
+                jax.jit(corr_mv), hs.n_pad, self._xpad.dtype,
+                jax.random.PRNGKey(self.seed),
+                num_probes=self.num_probes, num_steps=self.num_steps,
             )
+            ld = float(ld_weak) + float(ld_corr)
+        else:
+            # f32 (TPU): BOTH weak cascades amplify f32 rounding into
+            # large errors on rough vectors (measured ||E v||/||v|| ~ 80
+            # for the nonsym solve and ~2e6 for the symmetric one at
+            # n=5000, vs 3.5e-3 in f64) — unusable as preconditioners.
+            # Instead: a Nystrom preconditioner from ``nystrom_rank``
+            # global FPS pivots. After noise whitening, M~ = I + B B^T
+            # with B = D^{-1/2} C L_W^{-T} has an exact SPD inverse AND
+            # square root through one thin QR + a small eigh — every op
+            # dense, f32-stable, MXU-shaped. CG converges in ~15
+            # iterations, and log det K = log det D + log det M~ (exact)
+            # + SLQ of the M~^{-1/2} K~ M~^{-1/2} sandwich, whose
+            # spectrum clusters at 1 wherever the pivots capture the
+            # kernel's smooth energy.
+            import jax.scipy.linalg as jsl
 
-        ld_corr = slq_logdet(
-            jax.jit(corr_mv), hs.n_pad, self._xpad.dtype,
-            jax.random.PRNGKey(self.seed),
-            num_probes=self.num_probes, num_steps=self.num_steps,
-        )
+            dtype = self._xpad.dtype
+            R = min(self.nystrom_rank, hs.n_pad)
+            piv = _fps_pivots(
+                np.asarray(self._xpad)[None], np.asarray(self._valid)[None],
+                R, np.random.default_rng(self.seed),
+            )[0]
+            xpiv, vpiv = self._xpad[piv], self._valid[piv]
+
+            @pinned_full_precision
+            def _build_nystrom():
+                C = _block_matrix(pair, theta, self._xpad, self._valid,
+                                  xpiv, vpiv, remat=False)   # (n_pad, R)
+                W = _block_matrix(pair, theta, xpiv, vpiv, xpiv, vpiv,
+                                  remat=False)
+                eps = jnp.finfo(dtype).eps
+                Wr = W + (
+                    100.0 * eps * jnp.trace(W) / R
+                ) * jnp.eye(R, dtype=dtype)
+                LW = jnp.linalg.cholesky(Wr)
+                Bm = C / jnp.sqrt(self._diag_pad)[:, None]
+                Bm = jsl.solve_triangular(LW, Bm.T, lower=True).T
+                Q, Rq = jnp.linalg.qr(Bm)
+                lam, U = jnp.linalg.eigh(Rq @ Rq.T)
+                return Q @ U, jnp.maximum(lam, 0.0)
+
+            Q2, s2 = jax.jit(_build_nystrom)()
+            self._nystrom = (Q2, s2)
+            dinv_sqrt = 1.0 / jnp.sqrt(self._diag_pad)
+
+            @full_precision_matmuls
+            def precond(Y):
+                Yd = dinv_sqrt[:, None] * Y
+                t = Q2.T @ Yd
+                Yd = Yd - Q2 @ ((s2 / (1.0 + s2))[:, None] * t)
+                return dinv_sqrt[:, None] * Yd
+
+            def solve(B):
+                return pcg_solve(
+                    self._mv, precond, B, tol=eff_tol,
+                    maxiter=self.maxiter,
+                )
+
+            self._solve = jax.jit(solve)
+            self._precond = precond
+
+            @full_precision_matmuls
+            def _msqrt_inv(v):
+                t = Q2.T @ v
+                return v + Q2 @ (((1.0 + s2) ** -0.5 - 1.0) * t)
+
+            def sandwich(v):
+                w = dinv_sqrt * _msqrt_inv(v)
+                return _msqrt_inv(dinv_sqrt * self._mv(w))
+
+            ld_corr = slq_logdet(
+                jax.jit(sandwich), hs.n_pad, dtype,
+                jax.random.PRNGKey(self.seed),
+                num_probes=self.num_probes, num_steps=self.num_steps,
+            )
+            ld_weak = jnp.sum(jnp.log1p(s2)) + jnp.sum(
+                jnp.log(self._diag_pad)
+            )
         ld = float(ld_weak) + float(ld_corr)
         if not np.isfinite(ld):
             raise np.linalg.LinAlgError(
@@ -630,7 +723,7 @@ class HMatrixSolver(object):
     def __getstate__(self):
         state = self.__dict__.copy()
         for k in ("_mv", "_mv_theta", "_solve", "_precond",
-                  "_compress_fn", "_sym", "_far", "_hs", "_st",
+                  "_compress_fn", "_sym", "_weak", "_nystrom", "_far", "_hs", "_st",
                   "_xpad", "_valid", "_diag_pad", "_theta"):
             state.pop(k, None)
         state["computed"] = False

@@ -186,3 +186,50 @@ def test_pcg_solve_identity_precond():
         tol=1e-12,
     )
     assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-8)
+
+
+def test_f32_nystrom_path_subprocess():
+    """The f32 (TPU) branch — Nystrom preconditioner + sandwich SLQ —
+    runs in a subprocess because the suite pins float64 globally. Holds
+    the f32 path to dense-oracle accuracy at its working precision.
+    (Regression for the f32 instability of the weak hierarchical
+    cascades, which this branch exists to avoid.)"""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+from george_tpu import kernels
+from george_tpu.solvers import HMatrixSolver
+rng = np.random.default_rng(3)
+n = 1500
+x = rng.uniform(0, 10, (n, 2))
+y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)
+k = 1.0 * kernels.ExpSquaredKernel([1.5, 1.5], ndim=2)
+s = HMatrixSolver(k, min_size=64, rank=16, nystrom_rank=192)
+s.compute(x, yerr=0.1 * np.ones(n))
+Kd = np.asarray(k.get_value(x), dtype=np.float64) + np.diag(0.01 * np.ones(n))
+ld_ref = np.linalg.slogdet(Kd)[1]
+v = rng.standard_normal(n)
+zref = np.linalg.solve(Kd, v)
+z = s.apply_inverse(v)
+rel = np.max(np.abs(z - zref)) / np.max(np.abs(zref))
+# elementwise solve error floors at cond(K) * eps_f32 (~1e-2 here)
+assert rel < 5e-2, ("solve", rel)
+# the likelihood-relevant scalars are far tighter
+drel = abs(s.dot_solve(v) - v @ zref) / abs(v @ zref)
+assert drel < 1e-3, ("dot_solve", drel)
+ldrel = abs(s.log_determinant - ld_ref) / abs(ld_ref)
+assert ldrel < 5e-3, ("logdet", ldrel)
+print("F32 OK", rel, drel, ldrel)
+"""
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "F32 OK" in out.stdout
