@@ -1,0 +1,120 @@
+# -*- coding: utf-8 -*-
+"""Strong-admissibility (H-matrix) solver benchmark: 2-D GP compute +
+per-evaluation log-likelihood timing, with a weak-partition (HODLR)
+head-to-head at the same skeleton rank.
+
+The reference has no strong-admissibility code (its answer to spatial
+data was the external ButterflyPACK backend, ``basic.py:80-118``); this
+records the TPU-native solver's on-chip economics.
+
+Usage::
+
+    python benchmarks/bench_hmatrix.py [--n 20000] [--truth-n 4000]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _dataset(n, rng):
+    x = rng.uniform(0, 12.0 * np.sqrt(n / 2000.0), (n, 2))
+    truth = np.sin(x[:, 0]) * np.cos(0.7 * x[:, 1])
+    y = truth + 0.1 * rng.standard_normal(n)
+    yerr = 0.1 * np.ones(n)
+    return x, y, yerr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=20000)
+    parser.add_argument("--truth-n", type=int, default=4000)
+    parser.add_argument("--rank", type=int, default=16)
+    parser.add_argument("--min-size", type=int, default=64)
+    args = parser.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    from george_tpu import GP, kernels
+    from george_tpu.solvers import HMatrixSolver, HODLRSolver
+
+    rng = np.random.default_rng(7)
+    kernel_of = lambda: 1.0 * kernels.ExpSquaredKernel([1.5, 1.5], ndim=2)
+    out = {"metric": "hmatrix_2d", "n": args.n, "rank": args.rank,
+           "backend": jax.default_backend()}
+
+    # --- accuracy at a size where the on-chip f32 answer can be compared
+    # against this same machine's CPU-f64 exact likelihood (precomputed
+    # truth values for the seeded dataset below)
+    xt, yt, yerrt = _dataset(args.truth_n, np.random.default_rng(3))
+    gp = GP(kernel_of(), solver=HMatrixSolver, min_size=args.min_size,
+            rank=args.rank)
+    gp.compute(xt, yerr=yerrt)
+    ll_small = float(gp.log_likelihood(yt))
+    out["ll_truth_n"] = args.truth_n
+    out["ll_small"] = round(ll_small, 4)
+    if args.truth_n == 4000:
+        # exact f64 BasicSolver likelihood for this seeded dataset,
+        # computed once on the CPU (2026-08-17); the H-matrix answer's
+        # distance from it is dominated by the SLQ logdet MC noise
+        truth = 2894.5753680081853
+        out["ll_rel_err"] = round(abs(ll_small - truth) / abs(truth), 6)
+
+    # --- timing at the headline size -----------------------------------
+    x, y, yerr = _dataset(args.n, rng)
+
+    t0 = time.perf_counter()
+    gp = GP(kernel_of(), solver=HMatrixSolver, min_size=args.min_size,
+            rank=args.rank)
+    gp.compute(x, yerr=yerr)
+    out["compute_sec_first"] = round(time.perf_counter() - t0, 2)
+
+    # per-evaluation cost with everything compiled: recompute (compress +
+    # logdet) happens inside compute(); the repeated-eval cost is the
+    # preconditioned-CG solve in dot_solve
+    t0 = time.perf_counter()
+    ll = float(gp.log_likelihood(y))
+    out["loglike_sec_first"] = round(time.perf_counter() - t0, 2)
+    out["ll"] = round(ll, 2)
+
+    times = []
+    for k in range(5):
+        # vary the RHS so the serving runtime cannot replay a cached
+        # (program, input) pair
+        yk = y + 1e-6 * k
+        t0 = time.perf_counter()
+        _ = float(gp.solver.dot_solve(yk))
+        times.append(time.perf_counter() - t0)
+    out["solve_sec"] = round(min(times), 4)
+
+    # --- weak-partition head-to-head at the same rank -------------------
+    t0 = time.perf_counter()
+    gpw = GP(kernel_of(), solver=HODLRSolver, min_size=args.min_size,
+             rank=args.rank)
+    gpw.compute(x, yerr=yerr)
+    llw = float(gpw.log_likelihood(y))
+    out["weak_compute_ll_sec_first"] = round(time.perf_counter() - t0, 2)
+    out["ll_weak"] = round(llw, 2)
+    wt = []
+    for k in range(5):
+        yk = y + 1e-6 * k
+        t0 = time.perf_counter()
+        _ = float(gpw.solver.dot_solve(yk))
+        wt.append(time.perf_counter() - t0)
+    out["weak_solve_sec"] = round(min(wt), 4)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--max-depth", type=int, default=8)
     parser.add_argument("--segment", type=int, default=None)
     parser.add_argument("--target-accept", type=float, default=0.8)
+    parser.add_argument("--diag-mass", action="store_true",
+                        help="diagonal mass matrix (default: dense — GP "
+                        "hyperparameter posteriors are strongly "
+                        "correlated, dim is small)")
     args = parser.parse_args()
 
     import jax
@@ -49,7 +53,21 @@ def main():
     ) + 0.1 * kernels.Matern32Kernel(2.0)
     gp = GP(kernel, white_noise=np.log(1e-4), fit_white_noise=True)
     gp.compute(x, 0.1)
-    log_prob = gp.log_prob_fn(x, y, 0.1, gate_prior=False)
+
+    # A proper posterior: the bare GP marginal likelihood plateaus as
+    # amplitudes/scales run to infinity (noise-only model), so without a
+    # prior the chains drift along the plateau, every trajectory maxes
+    # out the tree depth, and "divergences" are plateau artifacts. A
+    # weak Gaussian prior around the initialization (sd=3 in the
+    # log-space parameters) is what real use looks like (the reference's
+    # MCMC tutorial gates lnprob with a prior too, hyper.rst).
+    center = jnp.asarray(gp.get_parameter_vector())
+
+    def log_prior(th):
+        return -0.5 * jnp.sum(((th - center) / 3.0) ** 2)
+
+    log_prob = gp.log_prob_fn(x, y, 0.1, gate_prior=False,
+                              log_prior=log_prior)
 
     ndim = len(gp)
     p0 = gp.get_parameter_vector()[None, :] + 1e-3 * rng.standard_normal(
@@ -63,6 +81,7 @@ def main():
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
         target_accept=args.target_accept,
+        dense_mass=not args.diag_mass,
     )
     # a host fetch, not block_until_ready: over the serving tunnel only a
     # device->host transfer reliably waits for remote completion
@@ -76,6 +95,7 @@ def main():
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
         target_accept=args.target_accept,
+        dense_mass=not args.diag_mass,
     )
     _ = float(np.asarray(samples).ravel()[0])
     timed = time.perf_counter() - t0

@@ -368,8 +368,8 @@ class GP(ModelSet):
 
         return loglike
 
-    def log_prob_fn(self, x, y, yerr=0.0, gate_prior=True):
-        """A pure jax-traceable ``f(theta_active) -> log-likelihood``.
+    def log_prob_fn(self, x, y, yerr=0.0, gate_prior=True, log_prior=None):
+        """A pure jax-traceable ``f(theta_active) -> log-posterior``.
 
         The returned closure evaluates the fused (assemble -> factor ->
         solve -> logdet) marginal likelihood at an *active* (unfrozen)
@@ -377,6 +377,16 @@ class GP(ModelSet):
         the result to ``-inf`` outside the box (the reference's
         ``log_prior`` pattern, ``modeling.py:331``); non-finite likelihoods
         also map to ``-inf`` so samplers reject instead of propagating NaN.
+
+        ``log_prior`` may be a traceable callable ``theta_active ->
+        scalar`` added to the likelihood. Gradient-based samplers want a
+        *smooth* prior here rather than the hard ``gate_prior`` box: a GP
+        marginal likelihood typically plateaus as amplitudes/scales run
+        off to infinity (the data-free noise-only model), so without a
+        proper prior the posterior is improper — chains drift along the
+        plateau, every NUTS trajectory runs to max depth, and step-size
+        adaptation collapses. (The reference's MCMC tutorial composes the
+        prior into ``lnprob`` the same way, ``docs/tutorials/hyper.rst``.)
 
         This is the sampler-facing surface: ``vmap`` it over walkers/chains,
         shard the batch axis over a mesh, and the per-step cost is one
@@ -429,6 +439,9 @@ class GP(ModelSet):
             theta = base.at[active_idx].set(theta_active)
             ll = loglike(theta, x, y, yerr2)
             ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+            if log_prior is not None:
+                ll = ll + log_prior(theta_active)
+                ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
             if gate_prior:
                 inside = jnp.all(
                     (theta_active >= lo) & (theta_active <= hi)

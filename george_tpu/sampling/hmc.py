@@ -40,17 +40,39 @@ __all__ = ["sample_hmc", "sample_nuts", "HMC", "NUTS", "WarmupSchedule"]
 # Leapfrog
 # ---------------------------------------------------------------------------
 
+def _mass_matvec(inv_mass, p):
+    """``M^{-1} p``. ``inv_mass`` is a ``(dim,)`` diagonal or, for dense
+    mass adaptation, a dict ``{"sigma": (dim, dim), "chol": (dim, dim)}``
+    with ``sigma`` the inverse mass (the pooled posterior-covariance
+    estimate) and ``chol`` its lower Cholesky factor."""
+    if isinstance(inv_mass, dict):
+        return inv_mass["sigma"] @ p
+    return inv_mass * p
+
+
+def _draw_momentum(key, inv_mass, shape, dtype):
+    """p ~ N(0, M) with M the mass matrix (= inverse of ``inv_mass``).
+    Dense: ``sigma = L L^T`` so ``p = L^{-T} z`` has covariance
+    ``sigma^{-1}``."""
+    z = jax.random.normal(key, shape, dtype)
+    if isinstance(inv_mass, dict):
+        return jax.scipy.linalg.solve_triangular(
+            inv_mass["chol"].T, z, lower=False
+        )
+    return z / jnp.sqrt(inv_mass)
+
+
 def _leapfrog(value_and_grad, q, p, grad, eps, inv_mass):
     """One leapfrog step. Returns (q, p, logp, grad)."""
     p_half = p + 0.5 * eps * grad
-    q_new = q + eps * inv_mass * p_half
+    q_new = q + eps * _mass_matvec(inv_mass, p_half)
     logp_new, grad_new = value_and_grad(q_new)
     p_new = p_half + 0.5 * eps * grad_new
     return q_new, p_new, logp_new, grad_new
 
 
 def _kinetic(p, inv_mass):
-    return 0.5 * jnp.sum(p * p * inv_mass)
+    return 0.5 * jnp.dot(p, _mass_matvec(inv_mass, p))
 
 
 def _energy_dtype():
@@ -66,7 +88,10 @@ def _energy_dtype():
 
 def _kinetic_hi(p, inv_mass):
     hi = _energy_dtype()
-    return 0.5 * jnp.sum(p.astype(hi) * p.astype(hi) * inv_mass.astype(hi))
+    p = p.astype(hi)
+    if isinstance(inv_mass, dict):
+        return 0.5 * jnp.dot(p, inv_mass["sigma"].astype(hi) @ p)
+    return 0.5 * jnp.sum(p * p * inv_mass.astype(hi))
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +103,7 @@ def hmc_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
     """Single-chain HMC transition with ``num_steps`` leapfrog steps."""
     key_mom, key_acc = jax.random.split(key)
     hi = _energy_dtype()
-    p0 = jax.random.normal(key_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
+    p0 = _draw_momentum(key_mom, inv_mass, q.shape, q.dtype)
     energy0 = -logp.astype(hi) + _kinetic_hi(p0, inv_mass)
 
     def body(i, state):
@@ -118,8 +143,8 @@ def _uturn(q_left, q_right, p_left, p_right, inv_mass):
     reverse trajectory time)."""
     dq = q_right - q_left
     return jnp.logical_or(
-        jnp.dot(dq, inv_mass * p_left) < 0,
-        jnp.dot(dq, inv_mass * p_right) < 0,
+        jnp.dot(dq, _mass_matvec(inv_mass, p_left)) < 0,
+        jnp.dot(dq, _mass_matvec(inv_mass, p_right)) < 0,
     )
 
 
@@ -133,7 +158,7 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
     dim = q.shape[0]
     key_mom, key_loop = jax.random.split(key)
     e_dtype = _energy_dtype()
-    p0 = jax.random.normal(key_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    p0 = _draw_momentum(key_mom, inv_mass, (dim,), dtype)
     energy0 = -logp.astype(e_dtype) + _kinetic_hi(p0, inv_mass)
 
     # Trajectory state: l = backward end, r = forward end.
@@ -229,8 +254,8 @@ def nuts_transition(key, q, logp, grad, value_and_grad, eps, inv_mass,
                     # are tested either way, so only dq's sign matters).
                     dq = direction * (qq - ckpt_q[k])
                     t = jnp.logical_or(
-                        jnp.dot(dq, inv_mass * ckpt_p[k]) < 0,
-                        jnp.dot(dq, inv_mass * pp) < 0,
+                        jnp.dot(dq, _mass_matvec(inv_mass, ckpt_p[k])) < 0,
+                        jnp.dot(dq, _mass_matvec(inv_mass, pp)) < 0,
                     )
                     return jnp.logical_or(
                         turning, jnp.logical_and(inside, t)
@@ -361,6 +386,40 @@ class WarmupSchedule(object):
         self.window_end = window_end
 
 
+def _robust_final_eps(log_eps_avg, clip):
+    """Cross-chain robustified post-warmup step sizes.
+
+    Per-chain dual averaging can leave one chain with a step size an
+    order of magnitude above its siblings': the chain happened to spend
+    its last adaptation window in a flat region, and once it wanders
+    into the stiff part of the posterior that frozen step size diverges
+    on a third of its transitions (measured on the 7-param GP posterior
+    of ``benchmarks/bench_nuts.py``: the rogue chain sat at eps ~10x the
+    cross-chain median with divergence_frac 0.32-0.46 while
+    every other chain was clean). Capping each chain at ``clip`` times
+    the median of the finite per-chain estimates removes exactly
+    those outliers without touching healthy chains; a chain whose
+    averaged estimate collapsed toward zero or non-finite (dual-averaging
+    runaway, not geometry — measured at eps ~1e-4 against a clean-cluster
+    median of 7e-3) is floored at ``median / clip**2`` instead of
+    freezing forever. The anchor is the cross-chain *median* of the
+    finite per-chain estimates — a mean is pulled up by exactly the
+    rogue chains being clipped (measured: cap at 3x the geometric mean
+    still left the rogues 4x above the clean cluster and diverging).
+    The reduction sorts one ``(chains,)`` vector, so under a sharded
+    chain batch it is one tiny ``all_gather`` per sampling run.
+    """
+    finite = jnp.isfinite(log_eps_avg)
+    n_finite = jnp.sum(finite.astype(jnp.int32))
+    le_sorted = jnp.sort(jnp.where(finite, log_eps_avg, jnp.inf))
+    med = le_sorted[jnp.maximum(n_finite - 1, 0) // 2]
+    log_clip = jnp.log(jnp.asarray(clip, log_eps_avg.dtype))
+    capped = jnp.clip(
+        log_eps_avg, med - 2.0 * log_clip, med + log_clip
+    )
+    return jnp.exp(jnp.where(finite, capped, med))
+
+
 def _dual_averaging_init(eps0, dtype, nchains=None):
     """Dual-averaging state, PER CHAIN: each chain adapts its own step
     size against its own acceptance statistic (Stan semantics). A single
@@ -464,14 +523,23 @@ def _warmup_chunk(step_keys, carry, in_slow, window_end, log_prob_fn,
         da = _dual_averaging_update(da, acc, target_accept)
 
         # pooled cross-chain Welford over the slow windows
+        dense = isinstance(inv_mass, dict)
         cnt, mean, m2 = welford
         batch_mean = jnp.mean(q, axis=0)
         delta = batch_mean - mean
         cnt_new = cnt + 1.0
         mean_new = mean + delta / cnt_new
         # within-batch spread pooled in as well
-        m2_new = m2 + jnp.mean((q - batch_mean[None, :]) ** 2, axis=0) + \
-            delta * (batch_mean - mean_new)
+        dev = q - batch_mean[None, :]
+        if dense:
+            m2_new = (
+                m2
+                + jnp.einsum("ci,cj->ij", dev, dev) / q.shape[0]
+                + jnp.outer(delta, batch_mean - mean_new)
+            )
+        else:
+            m2_new = m2 + jnp.mean(dev ** 2, axis=0) + \
+                delta * (batch_mean - mean_new)
         welford = jax.tree_util.tree_map(
             lambda new, old: jnp.where(slow, new, old),
             (cnt_new, mean_new, m2_new), (cnt, mean, m2),
@@ -479,8 +547,21 @@ def _warmup_chunk(step_keys, carry, in_slow, window_end, log_prob_fn,
 
         # window end: refresh the mass matrix, restart step-size averaging
         cnt, mean, m2 = welford
-        var = m2 / jnp.maximum(cnt - 1.0, 1.0) + 1e-5
-        inv_mass = jnp.where(wend, var, inv_mass)
+        if dense:
+            # Stan's shrinkage toward a small identity keeps the window
+            # estimate well-conditioned when few draws have accumulated
+            w = cnt / (cnt + 5.0)
+            sigma = w * (m2 / jnp.maximum(cnt - 1.0, 1.0)) + (
+                1e-3 * (1.0 - w) + 1e-5
+            ) * jnp.eye(q.shape[1], dtype=q.dtype)
+            new_mass = {"sigma": sigma, "chol": jnp.linalg.cholesky(sigma)}
+            inv_mass = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(wend, new, old),
+                new_mass, inv_mass,
+            )
+        else:
+            var = m2 / jnp.maximum(cnt - 1.0, 1.0) + 1e-5
+            inv_mass = jnp.where(wend, var, inv_mass)
         da_reset = _dual_averaging_init(
             jnp.exp(da["log_eps"]), q.dtype
         )
@@ -537,7 +618,8 @@ def _segments(total, size):
 
 def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
             algorithm="nuts", num_leapfrog=32, max_depth=10,
-            target_accept=0.8, segment_size=None):
+            target_accept=0.8, segment_size=None, step_size_clip=2.0,
+            dense_mass=False):
     """Warmup + sampling driver. ``p0``: (chains, dim).
 
     With ``segment_size=None`` the whole run is two device programs
@@ -555,14 +637,28 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
     in_slow = jnp.asarray(sched.in_slow)
     window_end = jnp.asarray(sched.window_end)
 
+    if dense_mass:
+        # inverse mass = pooled posterior covariance (dim x dim): the
+        # right tool for the strongly correlated hyperparameter
+        # posteriors GP marginal likelihoods produce, where a diagonal
+        # mass leaves the target stiff along the correlated directions
+        # and the adapted step size collapses. dim is small (the number
+        # of hyperparameters), so all dense-mass ops are negligible next
+        # to one likelihood gradient.
+        eye = jnp.eye(dim, dtype=dtype)
+        mass0 = {"sigma": eye, "chol": eye}
+        m2_0 = jnp.zeros((dim, dim), dtype)
+    else:
+        mass0 = jnp.ones(dim, dtype)
+        m2_0 = jnp.zeros(dim, dtype)
     carry = (
         p0, lp0, g0,
         _dual_averaging_init(0.1, dtype, nchains=nchains),
-        jnp.ones(dim, dtype),
+        mass0,
         (
             jnp.zeros((), dtype),        # Welford count
             jnp.zeros(dim, dtype),       # mean
-            jnp.zeros(dim, dtype),       # m2
+            m2_0,                        # m2 (diag or full)
         ),
     )
 
@@ -576,7 +672,12 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
         )
         warm_accs.append(acc)
     q, lp, g, da, inv_mass, _ = carry
-    eps_final = jnp.exp(da["log_eps_avg"])
+    if step_size_clip is not None and nchains > 1:
+        eps_final = _robust_final_eps(
+            da["log_eps_avg"], float(step_size_clip)
+        )
+    else:
+        eps_final = jnp.exp(da["log_eps_avg"])
 
     chains = []
     for (a, b) in _segments(num_samples, segment_size):
@@ -605,25 +706,36 @@ def _sample(key, p0, log_prob_fn, num_warmup, num_samples,
 
 
 def sample_nuts(key, log_prob_fn, p0, num_warmup=500, num_samples=500,
-                max_depth=10, target_accept=0.8, segment_size=None):
+                max_depth=10, target_accept=0.8, segment_size=None,
+                step_size_clip=2.0, dense_mass=False):
     """NUTS over vmapped chains. ``p0``: ``(chains, dim)``. Returns
-    ``(samples (num_samples, chains, dim), stats)``."""
+    ``(samples (num_samples, chains, dim), stats)``.
+
+    ``step_size_clip`` caps each chain's post-warmup step size at that
+    multiple of the cross-chain geometric mean (``None`` disables) — see
+    ``_robust_final_eps``. ``dense_mass`` adapts a full (dim, dim)
+    inverse-mass matrix from the pooled cross-chain covariance instead
+    of a diagonal — use it for the correlated posteriors GP marginal
+    likelihoods produce."""
     return _sample(
         key, jnp.asarray(p0), log_prob_fn, int(num_warmup),
         int(num_samples), algorithm="nuts", max_depth=int(max_depth),
         target_accept=float(target_accept),
-        segment_size=segment_size,
+        segment_size=segment_size, step_size_clip=step_size_clip,
+        dense_mass=bool(dense_mass),
     )
 
 
 def sample_hmc(key, log_prob_fn, p0, num_warmup=500, num_samples=500,
-               num_leapfrog=32, target_accept=0.8, segment_size=None):
+               num_leapfrog=32, target_accept=0.8, segment_size=None,
+               step_size_clip=2.0, dense_mass=False):
     """Fixed-length HMC over vmapped chains."""
     return _sample(
         key, jnp.asarray(p0), log_prob_fn, int(num_warmup),
         int(num_samples), algorithm="hmc", num_leapfrog=int(num_leapfrog),
         target_accept=float(target_accept),
-        segment_size=segment_size,
+        segment_size=segment_size, step_size_clip=step_size_clip,
+        dense_mass=bool(dense_mass),
     )
 
 

@@ -54,6 +54,32 @@ def test_log_prob_fn_matches_log_likelihood():
     assert np.isclose(lp, gp.log_likelihood(y))
 
 
+def test_log_prob_fn_smooth_prior():
+    """``log_prior=`` adds a traceable smooth prior to the closure — the
+    sampler-facing way to make the GP posterior proper (gradient-based
+    samplers want this instead of the hard bounds gate)."""
+    rng = np.random.default_rng(11)
+    x = np.sort(rng.uniform(0, 10, 30))
+    y = np.sin(x) + 0.1 * rng.standard_normal(30)
+
+    gp = GP(1.2 * kernels.Matern32Kernel(1.5))
+    gp.compute(x, 0.1)
+    center = jnp.asarray(gp.get_parameter_vector())
+    prior = lambda th: -0.5 * jnp.sum(((th - center) / 2.0) ** 2)
+
+    f0 = gp.log_prob_fn(x, y, 0.1, gate_prior=False)
+    f1 = gp.log_prob_fn(x, y, 0.1, gate_prior=False, log_prior=prior)
+
+    v = np.asarray(center) + 0.7
+    vj = jnp.asarray(v)
+    assert np.isclose(
+        float(f1(vj)), float(f0(vj)) + float(prior(vj)), rtol=1e-6
+    )
+    # the composed closure stays differentiable
+    g = jax.grad(f1)(vj)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_log_prob_fn_bounds_gate():
     rng = np.random.default_rng(4)
     x = np.sort(rng.uniform(0, 10, 20))
