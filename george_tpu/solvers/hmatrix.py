@@ -260,11 +260,48 @@ def hmatrix_compress(pair_fn, theta, xpad, valid, hs):
     return out
 
 
+def hmatrix_near_values(pair_fn, theta, xpad, valid, hs):
+    """Precomputed exact near field: ``(Kbb (B, m, m), Knear (B, q, m, m))``
+    with masked-out slots zeroed.
+
+    Iterative loops (CG, Lanczos) over a FIXED theta should assemble this
+    once and pass it to :func:`hmatrix_matvec` as ``near_vals`` — the
+    near-field kernel evaluations (transcendental-heavy) otherwise repeat
+    every iteration and dominate the matvec. Memory is
+    ``B * (q+1) * m^2`` entries, the same as the kernel sparsity pattern;
+    the solver gates this on an HBM budget (``store_near``).
+    """
+    B, m = hs.B, hs.m
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+    Kbb = jax.vmap(
+        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
+                                     remat=False)
+    )(xb, vb)
+    nbr = jnp.asarray(hs.near_nbr)
+    nmask = jnp.asarray(hs.near_mask)
+
+    def slot(q):
+        j = nbr[:, q]
+        Kij = jax.vmap(
+            lambda xa, va, xj, vj_: _block_matrix(
+                pair_fn, theta, xa, va, xj, vj_, remat=False
+            )
+        )(xb, vb, xb[j], vb[j])                        # (B, m, m)
+        return jnp.where(nmask[:, q, None, None], Kij, 0.0)
+
+    Knear = jnp.stack(
+        [slot(q) for q in range(hs.near_nbr.shape[1])], axis=1
+    )
+    return Kbb, Knear
+
+
 @full_precision_matmuls
 def hmatrix_matvec(pair_fn, theta, xpad, valid, diag_pad, hs, far_factors,
-                   X, include_diag=True):
-    """``(K_strong + diag) X`` — exact near field assembled on the fly,
-    compressed far field from ``far_factors``.
+                   X, include_diag=True, near_vals=None):
+    """``(K_strong + diag) X`` — exact near field (assembled on the fly,
+    or from ``near_vals`` when precomputed), compressed far field from
+    ``far_factors``.
 
     ``X``: ``(n_pad,)`` or ``(n_pad, k)``.
     """
@@ -276,32 +313,39 @@ def hmatrix_matvec(pair_fn, theta, xpad, valid, diag_pad, hs, far_factors,
     Xb = X.reshape(B, m, k)
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
-
-    # --- leaf diagonal blocks --------------------------------------------
-    Kbb = jax.vmap(
-        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
-                                     remat=True)
-    )(xb, vb)
-    Y = jnp.einsum("bij,bjk->bik", Kbb, Xb)
-    if include_diag:
-        Y = Y + diag_pad.reshape(B, m, 1) * Xb
-
-    # --- exact near field: one neighbor slot at a time (bounds peak
-    # memory at one (B, m, m) block batch instead of q_max of them) ------
     nbr = jnp.asarray(hs.near_nbr)                     # (B, q)
     nmask = jnp.asarray(hs.near_mask)
 
-    def near_slot(q, Yacc):
-        j = nbr[:, q]
-        Kij = jax.vmap(
-            lambda xa, va, xj, vj_: _block_matrix(
-                pair_fn, theta, xa, va, xj, vj_, remat=True
-            )
-        )(xb, vb, xb[j], vb[j])                        # (B, m, m)
-        contrib = jnp.einsum("bij,bjk->bik", Kij, Xb[j])
-        return Yacc + jnp.where(nmask[:, q, None, None], contrib, 0.0)
+    if near_vals is not None:
+        Kbb, Knear = near_vals
+        Y = jnp.einsum("bij,bjk->bik", Kbb, Xb)
+        if include_diag:
+            Y = Y + diag_pad.reshape(B, m, 1) * Xb
+        # one batched contraction over all stored neighbor slots
+        Y = Y + jnp.einsum("bqij,bqjk->bik", Knear, Xb[nbr])
+    else:
+        # --- leaf diagonal blocks ----------------------------------------
+        Kbb = jax.vmap(
+            lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
+                                         remat=True)
+        )(xb, vb)
+        Y = jnp.einsum("bij,bjk->bik", Kbb, Xb)
+        if include_diag:
+            Y = Y + diag_pad.reshape(B, m, 1) * Xb
 
-    Y = jax.lax.fori_loop(0, nbr.shape[1], near_slot, Y)
+        # --- exact near field: one neighbor slot at a time (bounds peak
+        # memory at one (B, m, m) block batch instead of q_max of them) --
+        def near_slot(q, Yacc):
+            j = nbr[:, q]
+            Kij = jax.vmap(
+                lambda xa, va, xj, vj_: _block_matrix(
+                    pair_fn, theta, xa, va, xj, vj_, remat=True
+                )
+            )(xb, vb, xb[j], vb[j])                    # (B, m, m)
+            contrib = jnp.einsum("bij,bjk->bik", Kij, Xb[j])
+            return Yacc + jnp.where(nmask[:, q, None, None], contrib, 0.0)
+
+        Y = jax.lax.fori_loop(0, nbr.shape[1], near_slot, Y)
     Y = Y.reshape(hs.n_pad, k)
 
     # --- compressed far field --------------------------------------------
@@ -401,7 +445,8 @@ class HMatrixSolver(object):
     def __init__(self, kernel, min_size=64, rank=16, eta=1.0,
                  precond_rank=None, nystrom_rank=256, cg_tol=1e-10,
                  maxiter=200, num_probes=16, num_steps=12, seed=42,
-                 sort=True, verbose=False, **kwargs):
+                 sort=True, verbose=False, store_near="auto",
+                 store_near_budget=2 << 30, **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         self.rank = int(rank)
@@ -417,6 +462,8 @@ class HMatrixSolver(object):
         self.seed = int(seed)
         self.sort = bool(sort)
         self.verbose = bool(verbose)
+        self.store_near = store_near
+        self.store_near_budget = int(store_near_budget)
         self.computed = False
         self.log_determinant = None
 
@@ -464,10 +511,30 @@ class HMatrixSolver(object):
         )
         self._far = self._compress_fn(theta)
 
+        # Store the near field when it fits the budget: CG/Lanczos loops
+        # then pay one gather+contraction per iteration instead of a full
+        # kernel re-evaluation of every near block.
+        near_bytes = (
+            hs.B * (hs.near_nbr.shape[1] + 1) * hs.m * hs.m
+            * self._xpad.dtype.itemsize
+        )
+        do_store = (
+            bool(self.store_near) if self.store_near != "auto"
+            else near_bytes <= self.store_near_budget
+        )
+        self._near = (
+            jax.jit(
+                lambda th: hmatrix_near_values(
+                    pair, th, self._xpad, self._valid, hs
+                )
+            )(theta)
+            if do_store else None
+        )
+
         def mv(Y):
             return hmatrix_matvec(
                 pair, theta, self._xpad, self._valid, self._diag_pad, hs,
-                self._far, Y,
+                self._far, Y, near_vals=self._near,
             )
 
         self._mv = jax.jit(mv)
@@ -723,7 +790,8 @@ class HMatrixSolver(object):
     def __getstate__(self):
         state = self.__dict__.copy()
         for k in ("_mv", "_mv_theta", "_solve", "_precond",
-                  "_compress_fn", "_sym", "_weak", "_nystrom", "_far", "_hs", "_st",
+                  "_compress_fn", "_sym", "_weak", "_nystrom", "_far",
+                  "_near", "_hs", "_st",
                   "_xpad", "_valid", "_diag_pad", "_theta"):
             state.pop(k, None)
         state["computed"] = False

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from ..neighbors import radius_neighbors_csr
 from ..utils import full_precision_matmuls
 
-__all__ = ["SparseSolver", "ell_from_csr", "ell_matvec", "cg_solve",
-           "slq_logdet"]
+__all__ = ["SparseSolver", "ell_from_csr", "ell_matvec", "ell_values",
+           "ell_apply", "cg_solve", "slq_logdet"]
 
 
 def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
@@ -55,22 +55,37 @@ def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
     return nbr, mask
 
 
-@full_precision_matmuls
-def ell_matvec(pair_fn, theta, x, nbr, mask, diag, y):
-    """``(K + diag) y`` with on-the-fly masked kernel entries.
-
-    ``y`` may be ``(n,)`` or ``(n, k)`` — the neighbor gather and the
-    per-row contraction are dense ops on static shapes (MXU/VPU friendly).
-    """
+def ell_values(pair_fn, theta, x, nbr, mask):
+    """Masked kernel-entry table ``vals[i, j] = k(x_i, x_nbr[i, j])``,
+    shape ``(n, k_max)`` — the same footprint as the neighbor table."""
     xn = x[nbr]                                     # (n, k_max, d)
     vals = jax.vmap(
         lambda xi, xns: jax.vmap(lambda xj: pair_fn(theta, xi, xj))(xns)
     )(x, xn)                                        # (n, k_max)
-    vals = jnp.where(mask, vals, 0.0)
+    return jnp.where(mask, vals, 0.0)
+
+
+@full_precision_matmuls
+def ell_apply(vals, nbr, diag, y):
+    """``(K + diag) y`` from a precomputed value table: one neighbor
+    gather + one per-row contraction per application. Iterative loops
+    (CG, Lanczos) should hoist ``ell_values`` out and apply this —
+    re-evaluating the kernel's transcendentals every iteration costs
+    more than the gather+contract itself."""
     squeeze = y.ndim == 1
     Y = y[:, None] if squeeze else y
     out = jnp.einsum("ik,ikr->ir", vals, Y[nbr]) + diag[:, None] * Y
     return out[:, 0] if squeeze else out
+
+
+def ell_matvec(pair_fn, theta, x, nbr, mask, diag, y):
+    """``(K + diag) y`` with on-the-fly masked kernel entries (matrix-free
+    in ``theta`` — the form to ``jax.jvp`` for dK/dtheta matvecs).
+
+    ``y`` may be ``(n,)`` or ``(n, k)`` — the neighbor gather and the
+    per-row contraction are dense ops on static shapes (MXU/VPU friendly).
+    """
+    return ell_apply(ell_values(pair_fn, theta, x, nbr, mask), nbr, diag, y)
 
 
 def cg_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
@@ -291,16 +306,20 @@ class SparseSolver(object):
         )
 
         def solve(th, B):
+            # hoist the kernel-entry table out of the CG iteration: the
+            # per-iteration matvec is then one gather + one contraction
+            vals = ell_values(pair, th, self._x, nbr, mask)
             return cg_solve(
-                lambda Y: ell_matvec(pair, th, self._x, nbr, mask, diag, Y),
+                lambda Y: ell_apply(vals, nbr, diag, Y),
                 B, self._pdiag, tol=eff_tol, maxiter=self.maxiter,
             )
 
         self._solve = jax.jit(solve)
 
         def logdet_fn(th, key):
+            vals = ell_values(pair, th, self._x, nbr, mask)
             return slq_logdet(
-                lambda v: ell_matvec(pair, th, self._x, nbr, mask, diag, v),
+                lambda v: ell_apply(vals, nbr, diag, v),
                 n, self._x.dtype, key,
                 num_probes=self.num_probes, num_steps=self.num_steps,
             )
