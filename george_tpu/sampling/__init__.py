@@ -29,8 +29,9 @@ except ImportError:  # pragma: no cover
     pass
 
 try:
-    from .vi import ADVI, fit_advi, advi_sample  # noqa: F401
+    from .vi import (ADVI, fit_advi, fit_advi_fullrank,  # noqa: F401
+                     advi_sample)
 
-    __all__ += ["ADVI", "fit_advi", "advi_sample"]
+    __all__ += ["ADVI", "fit_advi", "fit_advi_fullrank", "advi_sample"]
 except ImportError:  # pragma: no cover
     pass

@@ -54,3 +54,32 @@ def test_minimize_improves_likelihood():
     res = minimize(gp, y)
     assert res.success or res.status in (0, 2)
     assert gp.log_likelihood(y) >= ll0
+
+
+def test_advi_fullrank_recovers_correlated_gaussian():
+    """Full-rank ADVI recovers a correlated covariance exactly (Gaussian
+    target => the ELBO optimum IS the target); mean-field structurally
+    cannot represent the off-diagonal."""
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((3, 3))
+    cov_t = A @ A.T + 0.2 * np.eye(3)
+    mu_t = np.array([0.5, -1.0, 2.0])
+    prec = jnp.asarray(np.linalg.inv(cov_t))
+    mu_j = jnp.asarray(mu_t)
+
+    def log_prob(theta):
+        d = theta - mu_j
+        return -0.5 * d @ (prec @ d)
+
+    advi = ADVI(log_prob, num_steps=4000, learning_rate=0.05,
+                full_rank=True)
+    mu, sigma = advi.fit(np.zeros(3), seed=0)
+    assert np.allclose(mu, mu_t, atol=0.1)
+    cov = advi.covariance
+    assert np.allclose(cov, cov_t, atol=0.25 * np.abs(cov_t).max())
+    # the off-diagonal structure is really there
+    corr_t = cov_t[0, 1] / np.sqrt(cov_t[0, 0] * cov_t[1, 1])
+    corr = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+    assert abs(corr - corr_t) < 0.15
+    s = advi.sample(4000, seed=1)
+    assert np.allclose(np.cov(s.T), cov_t, atol=0.3 * np.abs(cov_t).max())
