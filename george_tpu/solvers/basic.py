@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .linalg import assemble_dense, cholesky_factor, chol_solve
+from .linalg import (as_points, assemble_dense, cholesky_factor,
+                     chol_solve)
 from ..utils import full_precision_matmuls
 
 __all__ = ["BasicSolver"]
@@ -47,7 +48,7 @@ class BasicSolver(object):
 
     def compute(self, x, yerr=0.0, nns=None, **kwargs):
         """Assemble and factorize ``K(x, x) + diag(yerr^2)``."""
-        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
+        x = as_points(x)
         yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
         if yerr2.size == 1:
             yerr2 = yerr2 * np.ones(len(x))

@@ -57,6 +57,7 @@ from .hodlr import (
     select_aca_pivots,
 )
 from .sparse import slq_logdet
+from .linalg import as_points
 
 __all__ = ["HMatrixSolver", "HMatrixStructure", "hmatrix_compress",
            "hmatrix_matvec", "pcg_solve"]
@@ -468,9 +469,7 @@ class HMatrixSolver(object):
         self.log_determinant = None
 
     def compute(self, x, yerr=0.0, nns=None, **kwargs):
-        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
-        if x.ndim == 1:
-            x = x[:, None]
+        x = as_points(x)
         n = len(x)
         yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
         if yerr2.size == 1:

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 
 from ..neighbors import morton_sort_samples
 from ..ops.chol import cholesky as _batched_cholesky
+from .linalg import as_points
 from ..utils import full_precision_matmuls, pinned_full_precision
 
 __all__ = ["HODLRSolver", "build_structure", "hodlr_factor", "hodlr_solve",
@@ -1041,9 +1042,7 @@ class HODLRSolver(object):
         self._sym_factors = None
         self._sqrt_fn = None
         self._sym_theta = None
-        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
-        if x.ndim == 1:
-            x = x[:, None]
+        x = as_points(x)
         n = len(x)
         yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
         if yerr2.size == 1:

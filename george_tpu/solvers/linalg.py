@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 __all__ = [
+    "as_points",
     "assemble_dense",
     "cholesky_factor",
     "chol_solve",
@@ -19,6 +20,26 @@ __all__ = [
     "chol_dot_solve",
     "mahalanobis_loglike",
 ]
+
+
+def as_points(x):
+    """Normalize solver inputs to an ``(n, d)`` float64 coordinate array.
+
+    A 1-D ``x`` means n scalar points (the reference's ``parse_samples``
+    semantics, ``gp.py:224``) — NOT one n-dimensional point, which is
+    what ``np.atleast_2d``'s ``(1, n)`` row would silently make it.
+    """
+    import numpy as np
+
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2:
+        raise ValueError(
+            "Dimension mismatch: x must be (n,) or (n, d), got shape %s"
+            % (x.shape,)
+        )
+    return x
 
 
 def assemble_dense(pair_fn, theta, x1, x2):

@@ -30,10 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from ..neighbors import radius_neighbors_csr
+from .linalg import as_points
 from ..utils import full_precision_matmuls
 
 __all__ = ["SparseSolver", "ell_from_csr", "ell_matvec", "ell_values",
-           "ell_apply", "cg_solve", "slq_logdet"]
+           "ell_apply", "dia_apply", "banded_offsets", "cg_solve",
+           "slq_logdet"]
 
 
 def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
@@ -86,6 +88,77 @@ def ell_matvec(pair_fn, theta, x, nbr, mask, diag, y):
     per-row contraction are dense ops on static shapes (MXU/VPU friendly).
     """
     return ell_apply(ell_values(pair_fn, theta, x, nbr, mask), nbr, diag, y)
+
+
+def banded_offsets(nbr_idx, row_ptr):
+    """Detect a banded neighbor structure and return its diagonal offsets.
+
+    For sorted 1-D inputs a radius query returns CONTIGUOUS neighbor
+    ranges ``[lo_i, hi_i]`` around each row; the sparse matrix is then a
+    variable-width band and the matvec needs no gathers at all — only
+    statically shifted slices (``dia_apply``). Returns
+    ``(offsets, lo, hi)`` — the offset array ``d_min..d_max`` and the
+    per-row neighbor bounds — if every row is contiguous, else ``None``.
+    """
+    n = len(row_ptr) - 1
+    if n == 0 or len(nbr_idx) == 0:
+        return None
+    counts = np.diff(row_ptr)
+    ends = row_ptr[1:]
+    starts = row_ptr[:-1]
+    # per-row min/max in O(nnz)
+    lo = np.minimum.reduceat(nbr_idx, starts[counts > 0])
+    hi = np.maximum.reduceat(nbr_idx, starts[counts > 0])
+    if not np.array_equal(hi - lo + 1, counts[counts > 0]):
+        return None
+    # rows with zero neighbors would make reduceat misalign; rebuild full
+    lo_full = np.zeros(n, dtype=np.int64)
+    hi_full = np.full(n, -1, dtype=np.int64)
+    nz = counts > 0
+    lo_full[nz], hi_full[nz] = lo, hi
+    rows = np.arange(n)
+    d_min = int(np.min(lo_full[nz] - rows[nz])) if nz.any() else 0
+    d_max = int(np.max(hi_full[nz] - rows[nz])) if nz.any() else 0
+    # sanity: the implied band must reproduce the exact sparsity count
+    width = d_max - d_min + 1
+    if width > 4 * max(int(counts.max()), 1):
+        # pathological spread — the padded band would waste memory
+        return None
+    return (
+        np.arange(d_min, d_max + 1, dtype=np.int64), lo_full, hi_full
+    )
+
+
+def banded_ell_tables(offsets, lo, hi, n):
+    """Synthesize the (nbr, mask) ELL tables of a banded structure so the
+    same ``ell_values`` kernel-entry evaluation serves the DIA path."""
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    cols = rows + offsets[None, :]
+    mask = (cols >= lo[:, None]) & (cols <= hi[:, None])
+    mask &= (cols >= 0) & (cols < n)
+    nbr = np.clip(cols, 0, n - 1).astype(np.int32)
+    return nbr, mask
+
+
+@full_precision_matmuls
+def dia_apply(vals, offsets, diag, y):
+    """``(K + diag) y`` for a banded structure: every "neighbor slot" is
+    a static diagonal offset, so each contribution is an elementwise
+    product with a *contiguous shifted slice* of ``y`` — no gathers, the
+    memory pattern TPUs (and XLA fusion) like best."""
+    squeeze = y.ndim == 1
+    Y = y[:, None] if squeeze else y
+    n = Y.shape[0]
+    lo = int(-min(offsets))
+    hi = int(max(offsets))
+    Ypad = jnp.pad(Y, ((max(lo, 0), max(hi, 0)), (0, 0)))
+    out = diag[:, None] * Y
+    base = max(lo, 0)
+    for j, d in enumerate(offsets):
+        shifted = jax.lax.slice_in_dim(Ypad, base + int(d),
+                                       base + int(d) + n, axis=0)
+        out = out + vals[:, j:j + 1] * shifted
+    return out[:, 0] if squeeze else out
 
 
 def cg_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
@@ -232,7 +305,7 @@ class SparseSolver(object):
         self._diag = None
 
     def compute(self, x, yerr=0.0, nns=None, **kwargs):
-        x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
+        x = as_points(x)
         n = len(x)
         yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
         if yerr2.size == 1:
@@ -245,8 +318,21 @@ class SparseSolver(object):
             nbr_idx, row_ptr = nns
         else:
             nbr_idx, row_ptr = radius_neighbors_csr(x, float(radius))
-        nbr_np, mask_np = ell_from_csr(nbr_idx, row_ptr)
         self.nnz = int(row_ptr[-1])
+        # banded (DIA) fast path: sorted-1-D radius neighborhoods are
+        # contiguous, so the matvec becomes static shifted slices
+        # instead of gathers (single-device only; under a mesh the
+        # gather form is what GSPMD partitions)
+        self._dia_offsets = None
+        band = banded_offsets(nbr_idx, row_ptr) if self.mesh is None \
+            else None
+        if band is not None:
+            offsets, lo_rows, hi_rows = band
+            nbr_np, mask_np = banded_ell_tables(offsets, lo_rows,
+                                                hi_rows, n)
+            self._dia_offsets = offsets
+        else:
+            nbr_np, mask_np = ell_from_csr(nbr_idx, row_ptr)
         self._pad_rows = 0
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -305,12 +391,20 @@ class SparseSolver(object):
             self.cg_tol, 30.0 * float(np.finfo(self._x.dtype).eps)
         )
 
+        # Fixed-theta application for iterative loops: the kernel-entry
+        # table is hoisted out of the iteration, and banded structures
+        # apply by shifted slices instead of gathers.
+        offsets = self._dia_offsets
+
+        def apply_fixed(vals, Y):
+            if offsets is not None:
+                return dia_apply(vals, offsets, diag, Y)
+            return ell_apply(vals, nbr, diag, Y)
+
         def solve(th, B):
-            # hoist the kernel-entry table out of the CG iteration: the
-            # per-iteration matvec is then one gather + one contraction
             vals = ell_values(pair, th, self._x, nbr, mask)
             return cg_solve(
-                lambda Y: ell_apply(vals, nbr, diag, Y),
+                lambda Y: apply_fixed(vals, Y),
                 B, self._pdiag, tol=eff_tol, maxiter=self.maxiter,
             )
 
@@ -319,7 +413,7 @@ class SparseSolver(object):
         def logdet_fn(th, key):
             vals = ell_values(pair, th, self._x, nbr, mask)
             return slq_logdet(
-                lambda v: ell_apply(vals, nbr, diag, v),
+                lambda v: apply_fixed(vals, v),
                 n, self._x.dtype, key,
                 num_probes=self.num_probes, num_steps=self.num_steps,
             )

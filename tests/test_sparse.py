@@ -6,6 +6,8 @@ reference fork's sparse + Hutchinson paths had NO tests — SURVEY.md §4)."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from george_tpu import GP, kernels
 from george_tpu.solvers import BasicSolver, SparseSolver
 
@@ -155,3 +157,65 @@ def test_sparse_get_inverse_unpadded_shape():
     assert Kinv.shape == (203, 203)
     K = _dense(kernel, x, yerr)
     assert np.allclose(Kinv @ K, np.eye(203), atol=1e-5)
+
+
+def test_banded_dia_path_matches_ell():
+    """Sorted-1-D radius neighborhoods are contiguous: the solver takes
+    the gather-free DIA path and must agree exactly with the ELL form."""
+    from george_tpu.solvers.sparse import (
+        banded_offsets, banded_ell_tables, dia_apply, ell_apply,
+        ell_values, ell_from_csr,
+    )
+    from george_tpu.neighbors import radius_neighbors_csr
+
+    rng = np.random.default_rng(2)
+    n = 400
+    x = np.sort(rng.uniform(0, 40, n))[:, None]
+    idx, ptr = radius_neighbors_csr(x, 1.5)
+    band = banded_offsets(idx, ptr)
+    assert band is not None
+    offsets, lo, hi = band
+
+    k = kernels.WendlandC2Kernel(
+        log_rc=np.log(1.5), kernel_base=kernels.ExpSquaredKernel(0.5)
+    )
+    theta = jnp.asarray(k.parameter_vector)
+    xj = jnp.asarray(x)
+    diag = 0.01 * jnp.ones(n)
+    Y = jnp.asarray(rng.standard_normal((n, 3)))
+
+    nbr_d, mask_d = banded_ell_tables(offsets, lo, hi, n)
+    vals_d = ell_values(k.pair_fn, theta, xj, jnp.asarray(nbr_d),
+                        jnp.asarray(mask_d))
+    out_dia = dia_apply(vals_d, offsets, diag, Y)
+
+    nbr_e, mask_e = ell_from_csr(idx, ptr)
+    vals_e = ell_values(k.pair_fn, theta, xj, jnp.asarray(nbr_e),
+                        jnp.asarray(mask_e))
+    out_ell = ell_apply(vals_e, jnp.asarray(nbr_e), diag, Y)
+    assert np.allclose(np.asarray(out_dia), np.asarray(out_ell),
+                       rtol=1e-12, atol=1e-12)
+
+    # 2-D Morton-ish data is NOT banded -> detection declines
+    x2 = rng.uniform(0, 10, (300, 2))
+    idx2, ptr2 = radius_neighbors_csr(x2, 1.0)
+    assert banded_offsets(idx2, ptr2) is None
+
+
+def test_sparse_solver_banded_equals_reference_solve():
+    """End-to-end: the solver on sorted-1-D data (DIA path active) still
+    reproduces the dense solve."""
+    rng = np.random.default_rng(3)
+    n = 300
+    x = np.sort(rng.uniform(0, 25, n))
+    y = rng.standard_normal(n)
+    k = 1.0 * kernels.WendlandC2Kernel(
+        log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.5)
+    )
+    solver = SparseSolver(k)
+    solver.compute(x, 0.5)
+    assert solver._dia_offsets is not None
+    z = solver.apply_inverse(y)
+    Kd = k.get_value(np.atleast_2d(x).T) + 0.25 * np.eye(n)
+    z_ref = np.linalg.solve(Kd, y)
+    assert np.allclose(z, z_ref, rtol=1e-6, atol=1e-8)
