@@ -14,6 +14,7 @@ target at this N.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -181,5 +182,79 @@ def main():
     )
 
 
+def _watchdog():
+    """Run the benchmark in a child process with a timeout, falling back
+    to a CPU run if the accelerator is unreachable.
+
+    The serving tunnel to the TPU occasionally goes down for hours; a
+    bare run would then hang forever on the first dispatch and the
+    driver would record nothing. The child inherits this interpreter and
+    argv; on timeout or a dead child the fallback child pins the CPU
+    platform (env vars cannot override the pinned platform, so the
+    fallback must be a fresh process that calls jax.config first)."""
+    import os
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    env = dict(os.environ, GEORGE_TPU_BENCH_CHILD="1")
+
+    def run(cmd, timeout):
+        try:
+            out = subprocess.run(
+                cmd, env=env, timeout=timeout,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            text = out.stdout.decode("utf-8", "replace")
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed(text.strip().splitlines()):
+            if line.startswith("{") and '"metric"' in line:
+                return line
+        sys.stderr.write(text + "\n")
+        return None
+
+    # quick probe: is the accelerator reachable at all? (a dead tunnel
+    # hangs on the first dispatch, so probe in a short-lived child)
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print('OK', float(jax.jit(lambda a: a.sum())(jnp.ones(8))))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], env=env, timeout=180,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        alive = b"OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        alive = False
+
+    line = None
+    if alive:
+        # normal attempt (TPU if available; generous budget for a cold
+        # compile of the unrolled hierarchical graph)
+        line = run([sys.executable, here] + sys.argv[1:], timeout=2400)
+    if line is None:
+        sys.stderr.write(
+            "bench: accelerator run failed or timed out; "
+            "falling back to a CPU measurement\n"
+        )
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import runpy, sys; sys.argv=[%r, '20000']; "
+            "runpy.run_path(%r, run_name='__main__')" % (here, here)
+        )
+        line = run([sys.executable, "-c", code], timeout=1800)
+    if line is None:
+        line = json.dumps({
+            "metric": "hodlr_loglik_grad_evals_per_sec",
+            "value": 0.0, "unit": "evals/s", "vs_baseline": 0.0,
+            "note": "benchmark could not run (device unavailable)",
+        })
+    print(line, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GEORGE_TPU_BENCH_CHILD"):
+        main()
+    else:
+        _watchdog()

@@ -10,14 +10,20 @@ from contextlib import redirect_stdout
 
 
 def test_bench_emits_json_line():
+    import os
+
     argv = sys.argv
     buf = io.StringIO()
+    # run the measurement in-process (the default entry wraps it in a
+    # watchdog subprocess with a CPU fallback for dead-accelerator runs)
+    os.environ["GEORGE_TPU_BENCH_CHILD"] = "1"
     try:
         sys.argv = ["bench.py", "2000"]
         with redirect_stdout(buf):
             runpy.run_path("bench.py", run_name="__main__")
     finally:
         sys.argv = argv
+        os.environ.pop("GEORGE_TPU_BENCH_CHILD", None)
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert len(lines) == 1
     record = json.loads(lines[0])
