@@ -244,6 +244,13 @@ def _watchdog():
             "runpy.run_path(%r, run_name='__main__')" % (here, here)
         )
         line = run([sys.executable, "-c", code], timeout=1800)
+        if line is not None:
+            rec = json.loads(line)
+            rec["note"] = (
+                "CPU fallback at n=20000 — accelerator unreachable; "
+                "NOT comparable to on-chip rounds"
+            )
+            line = json.dumps(rec)
     if line is None:
         line = json.dumps({
             "metric": "hodlr_loglik_grad_evals_per_sec",
