@@ -393,10 +393,26 @@ class SparseSolver(object):
 
         # Fixed-theta application for iterative loops: the kernel-entry
         # table is hoisted out of the iteration, and banded structures
-        # apply by shifted slices instead of gathers.
+        # apply by shifted slices instead of gathers. On TPU the banded
+        # application can route through the Pallas kernel (ops/dia.py):
+        # the whole RHS block stays VMEM-resident, so HBM traffic drops
+        # to the bandwidth floor. Opt-in until measured on-chip.
         offsets = self._dia_offsets
+        import os
+
+        use_pallas = (
+            offsets is not None
+            and os.environ.get("GEORGE_TPU_PALLAS_DIA") == "1"
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from ..ops.dia import dia_matvec_pallas
+
+            off_tuple = tuple(int(d) for d in offsets)
 
         def apply_fixed(vals, Y):
+            if use_pallas:
+                return dia_matvec_pallas(vals, off_tuple, diag, Y)
             if offsets is not None:
                 return dia_apply(vals, offsets, diag, Y)
             return ell_apply(vals, nbr, diag, Y)
