@@ -161,6 +161,22 @@ def dia_apply(vals, offsets, diag, y):
     return out[:, 0] if squeeze else out
 
 
+def cg_diff_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
+    """Differentiable SPD solve: CG wrapped in
+    ``lax.custom_linear_solve`` so reverse mode flows by implicit
+    differentiation (one extra CG solve for the cotangent) instead of
+    trying to unroll the ``while_loop`` — that is what lets the sparse
+    likelihood be a single ``jax.grad``-able program like the
+    hierarchical one."""
+    def solve_fn(mv, rhs):
+        return cg_solve(mv, rhs, precond_diag, tol=tol,
+                        maxiter=maxiter)[0]
+
+    return jax.lax.custom_linear_solve(
+        matvec, b, solve_fn, symmetric=True
+    )
+
+
 def cg_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
     """Jacobi-preconditioned CG for SPD ``A x = b`` (vector or multi-RHS)."""
     squeeze = b.ndim == 1
@@ -439,6 +455,112 @@ class SparseSolver(object):
             raise np.linalg.LinAlgError("SLQ log-determinant diverged")
         self.log_determinant = float(ld)
         self.computed = True
+
+    def loglike_fn(self):
+        """Pure ``f(theta_kernel, diag, r) -> log-likelihood`` through
+        the sparse machinery (same contract as the hierarchical
+        solver's): CG quadratic term via a ``custom_linear_solve`` (so
+        ``jax.grad`` flows by implicit differentiation) and an SLQ log
+        determinant with common random numbers across theta (the probe
+        set is fixed by the solver seed, so likelihood *differences* —
+        what optimizers and samplers consume — largely cancel the MC
+        noise). This is what lets ``GP.log_prob_fn`` drive samplers
+        through the compact-support path instead of falling back to a
+        dense O(n^2) assembly."""
+        pair = self.kernel.pair_fn
+        nbr, mask = self._nbr, self._mask
+        x = self._x
+        n_pad = x.shape[0]
+        n = n_pad - self._pad_rows
+        offsets = (
+            None if self._dia_offsets is None
+            else np.asarray(self._dia_offsets)
+        )
+        pad = self._pad_rows
+        eff_tol = max(
+            self.cg_tol, 30.0 * float(np.finfo(x.dtype).eps)
+        )
+        maxiter = self.maxiter
+        num_probes, num_steps = self.num_probes, self.num_steps
+        key = jax.random.PRNGKey(self.seed)
+
+        # the diagonal of K is a column of the value table (the radius
+        # query includes self-neighbors); locate each row's self slot
+        # once so the CG preconditioner needs no extra kernel pass
+        nbr_np = np.asarray(nbr)
+        self_slot = jnp.asarray(
+            np.argmax(nbr_np == np.arange(n_pad)[:, None], axis=1),
+            dtype=jnp.int32,
+        )
+        rows_idx = jnp.arange(n_pad)
+
+        def apply_of(vals, diag_pad, Y):
+            if offsets is not None:
+                return dia_apply(vals, offsets, diag_pad, Y)
+            return ell_apply(vals, nbr, diag_pad, Y)
+
+        def pdiag_of(vals, diag_pad):
+            return vals[rows_idx, self_slot] + diag_pad
+
+        # log-determinant with a custom adjoint: the forward value is
+        # the (CRN) SLQ estimate; the backward pass is the Hutchinson
+        # trace identity grad logdet = tr(K^{-1} dK) with the SAME probe
+        # set and CG solves — the reference's own split (SLQ-style value,
+        # Hutchinson gradient, ``gp.py:506-562`` there). Differentiating
+        # *through* Lanczos instead NaNs on breakdown (degenerate
+        # tridiagonal eigenvalues have no eigh adjoint).
+        @jax.custom_vjp
+        def slq_ld(vals, diag_pad):
+            return slq_logdet(
+                lambda v: apply_of(vals, diag_pad, v), n_pad, x.dtype,
+                key, num_probes=num_probes, num_steps=num_steps,
+            )
+
+        def slq_ld_fwd(vals, diag_pad):
+            return slq_ld(vals, diag_pad), (vals, diag_pad)
+
+        def slq_ld_bwd(res, g):
+            vals, diag_pad = res
+            V = jax.random.rademacher(
+                key, (n_pad, num_probes), dtype=vals.dtype
+            )
+            KinvV, _ = cg_solve(
+                lambda Y: apply_of(vals, diag_pad, Y), V,
+                pdiag_of(vals, diag_pad), tol=eff_tol, maxiter=maxiter,
+            )
+            # d logdet / d diag_i = (K^{-1})_{ii}
+            bar_diag = g * jnp.mean(V * KinvV, axis=1)
+            # d logdet / d vals[i, j] = (K^{-1})_{nbr[i,j], i}; build
+            # one slot column at a time to bound memory at (n, probes)
+            cols = []
+            for j in range(vals.shape[1]):
+                Kv_j = KinvV[nbr[:, j]]             # (n, probes)
+                cols.append(jnp.mean(V * Kv_j, axis=1))
+            bar_vals = g * jnp.stack(cols, axis=1) * mask
+            return bar_vals, bar_diag
+
+        slq_ld.defvjp(slq_ld_fwd, slq_ld_bwd)
+
+        @full_precision_matmuls
+        def loglike(theta_k, diag, r):
+            diag_pad = (
+                jnp.concatenate([diag, jnp.ones(pad, dtype=diag.dtype)])
+                if pad else diag
+            )
+            r_pad = (
+                jnp.concatenate([r, jnp.zeros(pad, dtype=r.dtype)])
+                if pad else r
+            )
+            vals = ell_values(pair, theta_k, x, nbr, mask)
+            z = cg_diff_solve(
+                lambda Y: apply_of(vals, diag_pad, Y), r_pad,
+                pdiag_of(vals, diag_pad), tol=eff_tol, maxiter=maxiter,
+            )
+            quad = jnp.dot(r_pad, z)
+            ld = slq_ld(vals, diag_pad)
+            return -0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
+
+        return loglike
 
     # -- protocol ----------------------------------------------------------
 
