@@ -590,6 +590,17 @@ class HMatrixSolver(object):
             self._solve = jax.jit(solve)
             self._precond = precond
 
+            # fused-likelihood sandwich parts (frozen at compute-theta;
+            # the identity log det(K(th)+D) = log det(W0 W0^T) +
+            # log det(W0^{-1}(K(th)+D)W0^{-T}) is exact for ANY fixed W0)
+            self._fused_whiten = lambda v: hodlr_sqrt_solve(
+                sym_factors, st, v
+            )
+            self._fused_whitenT = lambda v: hodlr_sqrt_solve(
+                sym_factors, st, v, transpose=True
+            )
+            self._fused_ld_base = float(ld_weak)
+
             # log det K = log det(W W^T) + SLQ(log det(W^-1 K W^-T))
             def corr_mv(v):
                 return hodlr_sqrt_solve(
@@ -676,6 +687,14 @@ class HMatrixSolver(object):
                 w = dinv_sqrt * _msqrt_inv(v)
                 return _msqrt_inv(dinv_sqrt * self._mv(w))
 
+            # fused-likelihood sandwich parts: P = D0^{1/2} M~0 D0^{1/2}
+            # frozen at compute-theta; exact for any theta
+            self._fused_whiten = lambda v: _msqrt_inv(dinv_sqrt * v)
+            self._fused_whitenT = lambda v: dinv_sqrt * _msqrt_inv(v)
+            self._fused_ld_base = float(
+                jnp.sum(jnp.log1p(s2)) + jnp.sum(jnp.log(self._diag_pad))
+            )
+
             ld_corr = slq_logdet(
                 jax.jit(sandwich), hs.n_pad, dtype,
                 jax.random.PRNGKey(self.seed),
@@ -691,6 +710,114 @@ class HMatrixSolver(object):
             )
         self.log_determinant = ld
         self.computed = True
+
+    def loglike_fn(self):
+        """Pure ``f(theta_kernel, diag, r) -> log-likelihood`` through
+        the strong-admissibility machinery (the fused contract
+        ``GP.log_prob_fn`` consumes — same as the weak and sparse
+        solvers'): far-field recompression + near-field assembly per
+        theta, preconditioned-CG quadratic term via
+        ``lax.custom_linear_solve`` (implicit differentiation), and the
+        frozen-preconditioner SLQ log-determinant sandwich with a
+        Hutchinson custom adjoint. The preconditioner and the sandwich
+        base are frozen at compute-theta — the identity
+        ``log det(K(th)+D) = log det P + log det(P^{-1/2}(K(th)+D)
+        P^{-1/2})`` is exact for ANY fixed SPD ``P``; only the SLQ
+        variance grows as theta leaves the neighborhood of compute-theta
+        (recompute to re-center)."""
+        pair = self.kernel.pair_fn
+        hs = self._hs
+        xpad, valid = self._xpad, self._valid
+        perm = jnp.asarray(self._perm)
+        n, n_pad = hs.n, hs.n_pad
+        pad = n_pad - n
+        whiten, whitenT = self._fused_whiten, self._fused_whitenT
+        base = self._fused_ld_base
+        precond = self._precond
+        store = self._near is not None
+        eff_tol = max(
+            self.cg_tol, 30.0 * float(np.finfo(xpad.dtype).eps)
+        )
+        maxiter = self.maxiter
+        num_probes, num_steps = self.num_probes, self.num_steps
+        key = jax.random.PRNGKey(self.seed)
+
+        def K_parts(th):
+            far = hmatrix_compress(pair, th, xpad, valid, hs)
+            nearv = (
+                hmatrix_near_values(pair, th, xpad, valid, hs)
+                if store else None
+            )
+            return far, nearv
+
+        def mv_of(th, parts, diag_pad, Y):
+            far, nearv = parts
+            return hmatrix_matvec(
+                pair, th, xpad, valid, diag_pad, hs, far, Y,
+                near_vals=nearv,
+            )
+
+        @jax.custom_vjp
+        def ld_total(th, diag_pad):
+            parts = K_parts(th)
+            return base + slq_logdet(
+                lambda v: whiten(mv_of(th, parts, diag_pad,
+                                       whitenT(v))),
+                n_pad, xpad.dtype, key,
+                num_probes=num_probes, num_steps=num_steps,
+            )
+
+        def ld_fwd(th, diag_pad):
+            return ld_total(th, diag_pad), (th, diag_pad)
+
+        def ld_bwd(res, g):
+            # grad log det(K+D) = tr((K+D)^{-1} d(K+D)) estimated with
+            # the same Rademacher probes + preconditioned CG solves (the
+            # reference's Regime-B trace, ``gp.py:524-547`` there)
+            th, diag_pad = res
+            parts = K_parts(th)
+            V = jax.random.rademacher(
+                key, (n_pad, num_probes), dtype=diag_pad.dtype
+            )
+            KinvV, _ = pcg_solve(
+                lambda Y: mv_of(th, parts, diag_pad, Y), precond, V,
+                tol=eff_tol, maxiter=maxiter,
+            )
+            KinvV = jax.lax.stop_gradient(KinvV)
+
+            def h(th2, diag2):
+                KV = mv_of(th2, K_parts(th2), diag2, V)
+                return jnp.mean(jnp.sum(KinvV * KV, axis=0))
+
+            gth, gdiag = jax.grad(h, argnums=(0, 1))(th, diag_pad)
+            return g * gth, g * gdiag
+
+        ld_total.defvjp(ld_fwd, ld_bwd)
+
+        @full_precision_matmuls
+        def loglike(theta_k, diag, r):
+            diag_pad = jnp.concatenate(
+                [diag[perm], jnp.ones(pad, dtype=diag.dtype)]
+            )
+            r_pad = jnp.concatenate(
+                [r[perm], jnp.zeros(pad, dtype=r.dtype)]
+            )
+            parts = K_parts(theta_k)
+
+            def solve_fn(mv, rhs):
+                return pcg_solve(
+                    mv, precond, rhs, tol=eff_tol, maxiter=maxiter
+                )[0]
+
+            z = jax.lax.custom_linear_solve(
+                lambda Y: mv_of(theta_k, parts, diag_pad, Y), r_pad,
+                solve_fn, symmetric=True,
+            )
+            quad = jnp.dot(r_pad, z)
+            ld = ld_total(theta_k, diag_pad)
+            return -0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
+
+        return loglike
 
     # -- protocol ----------------------------------------------------------
 
@@ -791,6 +918,7 @@ class HMatrixSolver(object):
         for k in ("_mv", "_mv_theta", "_solve", "_precond",
                   "_compress_fn", "_sym", "_weak", "_nystrom", "_far",
                   "_near", "_hs", "_st",
+                  "_fused_whiten", "_fused_whitenT", "_fused_ld_base",
                   "_xpad", "_valid", "_diag_pad", "_theta"):
             state.pop(k, None)
         state["computed"] = False

@@ -233,3 +233,46 @@ print("F32 OK", rel, drel, ldrel)
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "F32 OK" in out.stdout
+
+
+def test_hmatrix_fused_loglike_and_grad():
+    """The fused strong-admissibility likelihood matches the host path
+    at compute-theta (same probes/preconditioner), and jax.grad of it
+    matches the exact dense gradient to Monte-Carlo accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    n = 900
+    x = rng.uniform(0, 8, (n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.7 * x[:, 1]) \
+        + 0.1 * rng.standard_normal(n)
+    yerr = 0.2 * np.ones(n)
+
+    def kern():
+        return 1.0 * kernels.ExpSquaredKernel([1.2, 1.2], ndim=2)
+
+    gp = GP(kern(), solver=HMatrixSolver, min_size=32, rank=12,
+            num_probes=96, num_steps=20)
+    gp.compute(x, yerr=yerr)
+    ll_host = gp.log_likelihood(y)
+
+    f = gp.log_prob_fn(x, y, 0.2, gate_prior=False)
+    theta = jnp.asarray(gp.get_parameter_vector())
+    assert np.isclose(float(f(theta)), ll_host, rtol=1e-8)
+
+    g = np.asarray(jax.grad(f)(theta))
+    assert np.all(np.isfinite(g))
+    gp_exact = GP(kern(), solver=BasicSolver)
+    gp_exact.compute(x, yerr=yerr)
+    g_ref = gp_exact.grad_log_likelihood(y)
+    scale = np.abs(g_ref).max()
+    assert np.allclose(g, g_ref, atol=0.1 * scale), (g, g_ref)
+
+    # away from compute-theta the frozen-preconditioner identity stays
+    # exact for the quadratic term and unbiased for the logdet: the
+    # value must track the exact likelihood within SLQ noise
+    th2 = theta + jnp.asarray([0.15, -0.1, 0.1])
+    gp_exact.set_parameter_vector(np.asarray(th2))
+    ll2_exact = gp_exact.log_likelihood(y)
+    assert abs(float(f(th2)) - ll2_exact) / abs(ll2_exact) < 2e-3
