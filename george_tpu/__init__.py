@@ -25,6 +25,7 @@ from .solvers import (  # noqa: F401
     BasicSolver,
     TrivialSolver,
     HODLRSolver,
+    HMatrixSolver,
     SparseSolver,
 )
 
@@ -37,6 +38,7 @@ __all__ = [
     "BasicSolver",
     "TrivialSolver",
     "HODLRSolver",
+    "HMatrixSolver",
     "SparseSolver",
     "kernels",
     "metrics",
