@@ -50,10 +50,15 @@ def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
     k_max = max(pad_multiple, -(-k_max // pad_multiple) * pad_multiple)
     nbr = np.zeros((n, k_max), dtype=np.int32)
     mask = np.zeros((n, k_max), dtype=bool)
-    for i in range(n):
-        c = counts[i]
-        nbr[i, :c] = nbr_idx[row_ptr[i]:row_ptr[i + 1]]
-        mask[i, :c] = True
+    # vectorized scatter (a python loop over rows dominates setup time
+    # beyond n ~ 1e5): entry t of the CSR stream lands at
+    # (row(t), t - row_start(row(t)))
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    slots = np.arange(len(nbr_idx), dtype=np.int64) - np.repeat(
+        np.asarray(row_ptr[:-1], dtype=np.int64), counts
+    )
+    nbr[rows, slots] = nbr_idx
+    mask[rows, slots] = True
     return nbr, mask
 
 
