@@ -205,12 +205,15 @@ def _watchdog():
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
             text = out.stdout.decode("utf-8", "replace")
-        except subprocess.TimeoutExpired:
-            return None
+        except subprocess.TimeoutExpired as e:
+            # a child can print its metric line and THEN wedge in TPU
+            # client teardown over the tunnel — keep the partial output
+            text = (e.stdout or b"").decode("utf-8", "replace")
         for line in reversed(text.strip().splitlines()):
             if line.startswith("{") and '"metric"' in line:
                 return line
-        sys.stderr.write(text + "\n")
+        if text.strip():
+            sys.stderr.write(text + "\n")
         return None
 
     # quick probe: is the accelerator reachable at all? (a dead tunnel

@@ -71,10 +71,6 @@ def _leapfrog(value_and_grad, q, p, grad, eps, inv_mass):
     return q_new, p_new, logp_new, grad_new
 
 
-def _kinetic(p, inv_mass):
-    return 0.5 * jnp.dot(p, _mass_matvec(inv_mass, p))
-
-
 def _energy_dtype():
     """Accumulation dtype for Hamiltonian energies: f64 when enabled
     (``canonicalize_dtype`` degrades to f32 otherwise). In f32 chains the
@@ -711,9 +707,9 @@ def sample_nuts(key, log_prob_fn, p0, num_warmup=500, num_samples=500,
     """NUTS over vmapped chains. ``p0``: ``(chains, dim)``. Returns
     ``(samples (num_samples, chains, dim), stats)``.
 
-    ``step_size_clip`` caps each chain's post-warmup step size at that
-    multiple of the cross-chain geometric mean (``None`` disables) — see
-    ``_robust_final_eps``. ``dense_mass`` adapts a full (dim, dim)
+    ``step_size_clip`` bounds each chain's post-warmup step size within
+    ``[med/clip^2, med*clip]`` around the cross-chain median (``None``
+    disables) — see ``_robust_final_eps``. ``dense_mass`` adapts a full (dim, dim)
     inverse-mass matrix from the pooled cross-chain covariance instead
     of a diagonal — use it for the correlated posteriors GP marginal
     likelihoods produce."""

@@ -757,9 +757,13 @@ class HMatrixSolver(object):
                 near_vals=nearv,
             )
 
+        # ``parts`` is an explicit argument so the quadratic term and the
+        # logdet share ONE far-compression + near-assembly per evaluation
+        # (instead of leaning on XLA to CSE them); its cotangent is zero
+        # because the backward pass re-derives the full theta dependence
+        # through the Hutchinson identity.
         @jax.custom_vjp
-        def ld_total(th, diag_pad):
-            parts = K_parts(th)
+        def ld_total(th, diag_pad, parts):
             return base + slq_logdet(
                 lambda v: whiten(mv_of(th, parts, diag_pad,
                                        whitenT(v))),
@@ -767,15 +771,14 @@ class HMatrixSolver(object):
                 num_probes=num_probes, num_steps=num_steps,
             )
 
-        def ld_fwd(th, diag_pad):
-            return ld_total(th, diag_pad), (th, diag_pad)
+        def ld_fwd(th, diag_pad, parts):
+            return ld_total(th, diag_pad, parts), (th, diag_pad, parts)
 
         def ld_bwd(res, g):
             # grad log det(K+D) = tr((K+D)^{-1} d(K+D)) estimated with
             # the same Rademacher probes + preconditioned CG solves (the
             # reference's Regime-B trace, ``gp.py:524-547`` there)
-            th, diag_pad = res
-            parts = K_parts(th)
+            th, diag_pad, parts = res
             V = jax.random.rademacher(
                 key, (n_pad, num_probes), dtype=diag_pad.dtype
             )
@@ -790,7 +793,10 @@ class HMatrixSolver(object):
                 return jnp.mean(jnp.sum(KinvV * KV, axis=0))
 
             gth, gdiag = jax.grad(h, argnums=(0, 1))(th, diag_pad)
-            return g * gth, g * gdiag
+            zero_parts = jax.tree_util.tree_map(
+                jnp.zeros_like, parts
+            )
+            return g * gth, g * gdiag, zero_parts
 
         ld_total.defvjp(ld_fwd, ld_bwd)
 
@@ -814,7 +820,7 @@ class HMatrixSolver(object):
                 solve_fn, symmetric=True,
             )
             quad = jnp.dot(r_pad, z)
-            ld = ld_total(theta_k, diag_pad)
+            ld = ld_total(theta_k, diag_pad, parts)
             return -0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
 
         return loglike

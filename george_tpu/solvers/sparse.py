@@ -109,8 +109,20 @@ def banded_offsets(nbr_idx, row_ptr):
     if n == 0 or len(nbr_idx) == 0:
         return None
     counts = np.diff(row_ptr)
-    ends = row_ptr[1:]
     starts = row_ptr[:-1]
+    if not np.all(counts > 0):
+        # empty rows cannot occur with a self-including radius query;
+        # in a user CSR they would poke holes in the boundary bookkeeping
+        return None
+    # rows must be strictly increasing: max-min+1 == count alone is
+    # fooled by duplicate indices in a user-provided CSR (e.g. [1,1,3]),
+    # which would silently synthesize a DIFFERENT matrix
+    d = np.diff(nbr_idx)
+    row_boundary = np.zeros(len(d), dtype=bool)
+    inner = row_ptr[1:-1]
+    row_boundary[inner[(inner > 0) & (inner <= len(d))] - 1] = True
+    if not np.all(d[~row_boundary] > 0):
+        return None
     # per-row min/max in O(nnz)
     lo = np.minimum.reduceat(nbr_idx, starts[counts > 0])
     hi = np.maximum.reduceat(nbr_idx, starts[counts > 0])
@@ -427,13 +439,20 @@ class SparseSolver(object):
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
-            from ..ops.dia import dia_matvec_pallas
+            from ..ops.dia import dia_matvec_pallas, DIA_VMEM_BUDGET
 
             off_tuple = tuple(int(d) for d in offsets)
+            band = int(max(off_tuple)) - int(min(off_tuple))
 
         def apply_fixed(vals, Y):
             if use_pallas:
-                return dia_matvec_pallas(vals, off_tuple, diag, Y)
+                # the kernel keeps the padded RHS + output in VMEM;
+                # shapes are trace-time constants, so gate here and fall
+                # through to the XLA form for oversized RHS blocks
+                r = 1 if Y.ndim == 1 else Y.shape[1]
+                rhs_bytes = 2 * (Y.shape[0] + band) * r * Y.dtype.itemsize
+                if rhs_bytes <= DIA_VMEM_BUDGET:
+                    return dia_matvec_pallas(vals, off_tuple, diag, Y)
             if offsets is not None:
                 return dia_apply(vals, offsets, diag, Y)
             return ell_apply(vals, nbr, diag, Y)
@@ -491,12 +510,19 @@ class SparseSolver(object):
 
         # the diagonal of K is a column of the value table (the radius
         # query includes self-neighbors); locate each row's self slot
-        # once so the CG preconditioner needs no extra kernel pass
+        # once so the CG preconditioner needs no extra kernel pass. Only
+        # MASKED-VALID slots count: on the banded path boundary rows
+        # carry clipped out-of-band slots that also point at the row
+        # (nbr clipped to [0, n-1], mask False, value 0) and argmax on
+        # nbr alone would land there, zeroing the preconditioner entry.
         nbr_np = np.asarray(nbr)
+        mask_np = np.asarray(mask)
+        is_self = (nbr_np == np.arange(n_pad)[:, None]) & mask_np
         self_slot = jnp.asarray(
-            np.argmax(nbr_np == np.arange(n_pad)[:, None], axis=1),
-            dtype=jnp.int32,
+            np.argmax(is_self, axis=1), dtype=jnp.int32
         )
+        # padded mesh rows have no self entry; their vals row is all
+        # zero, so the gathered entry is 0 and diag_pad (=1) dominates
         rows_idx = jnp.arange(n_pad)
 
         def apply_of(vals, diag_pad, Y):

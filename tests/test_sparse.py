@@ -257,3 +257,44 @@ def test_sparse_fused_loglike_and_grad():
     g_ref = gp_exact.grad_log_likelihood(y)
     scale = np.abs(g_ref).max()
     assert np.allclose(g, g_ref, atol=0.1 * scale), (g, g_ref)
+
+
+def test_banded_offsets_rejects_duplicate_csr():
+    """A user CSR with duplicate neighbor indices passes the naive
+    max-min+1 == count test but describes a different matrix — the
+    banded detection must decline it (regression for a silent-wrong-
+    matrix bug)."""
+    from george_tpu.solvers.sparse import banded_offsets
+
+    # row 0: [0, 1]; row 1: [1, 1, 3] (duplicate; span 3 == count 3)
+    nbr_idx = np.array([0, 1, 1, 1, 3, 2, 3], dtype=np.int64)
+    row_ptr = np.array([0, 2, 5, 7], dtype=np.int64)
+    assert banded_offsets(nbr_idx, row_ptr) is None
+
+    # the clean version of the same shape is accepted
+    nbr_idx = np.array([0, 1, 1, 2, 3, 2, 3], dtype=np.int64)
+    row_ptr = np.array([0, 2, 5, 7], dtype=np.int64)
+    assert banded_offsets(nbr_idx, row_ptr) is not None
+
+
+def test_sparse_fused_pdiag_boundary_rows():
+    """The fused likelihood's Jacobi preconditioner must read k(x0, x0)
+    for boundary rows on the banded path (regression: clipped
+    out-of-band slots also point at row 0 and argmax over nbr alone
+    landed on a masked zero slot, wrecking CG conditioning for tiny
+    noise)."""
+    import jax
+
+    rng = np.random.default_rng(12)
+    n = 200
+    x = np.sort(rng.uniform(0, 15, n))
+    y = np.sin(x)
+    k = 1.0 * kernels.WendlandC2Kernel(
+        log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.5)
+    )
+    gp = GP(k, solver=SparseSolver, num_probes=64, num_steps=30)
+    gp.compute(x, 0.4)
+    assert gp.solver._dia_offsets is not None
+    f = gp.log_prob_fn(x, y, 0.4, gate_prior=False)
+    theta = jnp.asarray(gp.get_parameter_vector())
+    assert np.isclose(float(f(theta)), gp.log_likelihood(y), rtol=1e-8)
