@@ -35,7 +35,7 @@ from ..utils import full_precision_matmuls
 
 __all__ = ["SparseSolver", "ell_from_csr", "ell_matvec", "ell_values",
            "ell_apply", "dia_apply", "banded_offsets", "cg_solve",
-           "slq_logdet"]
+           "cg_diff_solve", "lanczos_fn_matvec", "slq_logdet"]
 
 
 def ell_from_csr(nbr_idx, row_ptr, pad_multiple=8):
@@ -176,6 +176,42 @@ def dia_apply(vals, offsets, diag, y):
                                        base + int(d) + n, axis=0)
         out = out + vals[:, j:j + 1] * shifted
     return out[:, 0] if squeeze else out
+
+
+def lanczos_fn_matvec(matvec, b, fn, num_steps=40):
+    """``f(A) b`` for SPD ``A`` by the Lanczos method: ``b`` spans a
+    Krylov space ``V_m``, ``A`` restricted to it is the tridiagonal
+    ``T_m``, and ``f(A) b ~= ||b|| V_m f(T_m) e1``. Exact when ``A``'s
+    action on the Krylov space is captured (m >= matrix size), and
+    spectrally accurate long before that for smooth ``f`` — the same
+    machinery as :func:`slq_logdet` but returning the transported vector
+    instead of a quadrature. ``b``: ``(n,)``."""
+    dtype = b.dtype
+    beta0 = jnp.linalg.norm(b)
+    v0 = b / jnp.where(beta0 > 0, beta0, 1.0)
+
+    def step(carry, _):
+        v_prev, v, beta_prev = carry
+        w = matvec(v) - beta_prev * v_prev
+        alpha = jnp.dot(w, v)
+        w = w - alpha * v
+        w = w - jnp.dot(w, v_prev) * v_prev
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.where(beta > 0, beta, 1.0)
+        return (v, v_next, beta), (v, alpha, beta)
+
+    _, (V, alphas, betas) = jax.lax.scan(
+        step, (jnp.zeros_like(v0), v0, jnp.zeros((), dtype)), None,
+        length=num_steps,
+    )                                           # V: (m, n)
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    evals, evecs = jnp.linalg.eigh(T)
+    coeff = evecs @ (fn(jnp.maximum(evals, 0.0)) * evecs[0, :])
+    return beta0 * (V.T @ coeff)
 
 
 def cg_diff_solve(matvec, b, precond_diag, tol=1e-10, maxiter=1000):
@@ -636,10 +672,36 @@ class SparseSolver(object):
         n = self._x.shape[0] - self._pad_rows
         return self.apply_inverse(np.eye(n))
 
-    def apply_sqrt(self, r):
-        raise NotImplementedError(
-            "apply_sqrt is not defined for the iterative sparse solver"
+    def apply_sqrt(self, r, num_steps=None):
+        """Rows of ``r`` transported by the symmetric square root
+        ``(K + diag)^{1/2}`` via Lanczos ``f(A) b`` — prior-sampling
+        support the reference's sparse backend lacks (its ``apply_sqrt``
+        is dense-only, ``basic.py:284-302`` there). Spectrally accurate
+        in ``num_steps`` Lanczos iterations (default: the solver's
+        ``num_steps``, floored at 30)."""
+        m = int(num_steps) if num_steps is not None else max(
+            self.num_steps, 30
         )
+        r = np.asarray(r, dtype=np.float64)
+        squeeze = r.ndim == 1
+        R = r[None, :] if squeeze else r            # (size, n)
+        vals = ell_values(
+            self.kernel.pair_fn, self._theta, self._x, self._nbr,
+            self._mask,
+        )
+        offsets = self._dia_offsets
+
+        def mv(v):
+            if offsets is not None:
+                return dia_apply(vals, offsets, self._diag, v)
+            return ell_apply(vals, self._nbr, self._diag, v)
+
+        sqrt_one = jax.jit(
+            lambda b: lanczos_fn_matvec(mv, b, jnp.sqrt, num_steps=m)
+        )
+        cols = jax.vmap(sqrt_one)(jnp.asarray(self._pad(R.T).T))
+        out = self._unpad(np.asarray(cols).T).T
+        return out[0] if squeeze else out
 
     # -- matrix-free gradient (reference Regime B, gp.py:506-562) ----------
 

@@ -298,3 +298,29 @@ def test_sparse_fused_pdiag_boundary_rows():
     f = gp.log_prob_fn(x, y, 0.4, gate_prior=False)
     theta = jnp.asarray(gp.get_parameter_vector())
     assert np.isclose(float(f(theta)), gp.log_likelihood(y), rtol=1e-8)
+
+
+def test_sparse_apply_sqrt_lanczos():
+    """apply_sqrt is a symmetric square root: applying it twice
+    reproduces (K + diag) v; gp.sample draws finite prior samples."""
+    rng = np.random.default_rng(15)
+    n = 220
+    x = np.sort(rng.uniform(0, 18, n))
+    k = 1.0 * kernels.WendlandC2Kernel(
+        log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.6)
+    )
+    gp = GP(k, solver=SparseSolver)
+    gp.compute(x, 0.3)
+
+    v = rng.standard_normal(n)
+    Sv = gp.solver.apply_sqrt(v, num_steps=60)
+    SSv = gp.solver.apply_sqrt(Sv, num_steps=60)
+    Kv = np.asarray(gp.solver.apply_forward(v))
+    scale = np.abs(Kv).max()
+    assert np.allclose(SSv, Kv, atol=1e-6 * scale), (
+        np.abs(SSv - Kv).max(), scale
+    )
+
+    s = gp.sample(size=3)
+    assert s.shape == (3, n)
+    assert np.all(np.isfinite(s))
