@@ -863,10 +863,31 @@ class HMatrixSolver(object):
     def get_inverse(self):
         return self.apply_inverse(np.eye(len(self._perm)))
 
-    def apply_sqrt(self, r):
-        raise NotImplementedError(
-            "apply_sqrt is not defined for the iterative H-matrix solver"
+    def apply_sqrt(self, r, num_steps=None):
+        """Rows of ``r`` transported by the symmetric square root
+        ``(K + diag)^{1/2}`` via Lanczos ``f(A) b`` over the compressed
+        matvec — O(m) H-matrix matvecs per sample, so prior sampling
+        works at strong-admissibility scale (the reference has no sparse
+        ``apply_sqrt`` at all, ``basic.py:284-302`` there)."""
+        from .sparse import lanczos_fn_matvec
+
+        m = int(num_steps) if num_steps is not None else max(
+            self.num_steps, 30
         )
+        r = np.asarray(r, dtype=np.float64)
+        squeeze = r.ndim == 1
+        R = r[None, :] if squeeze else r            # (size, n)
+        Zp = self._pad(R.T)                          # (n_pad, size)
+        sqrt_one = jax.jit(
+            lambda b: lanczos_fn_matvec(
+                self._mv, b, jnp.sqrt, num_steps=m
+            )
+        )
+        cols = jax.vmap(sqrt_one)(jnp.asarray(Zp.T))
+        out = np.stack(
+            [self._unpad(np.asarray(c)) for c in cols], axis=0
+        )
+        return out[0] if squeeze else out
 
     # -- matrix-free gradient (reference Regime B, gp.py:506-562) ----------
 

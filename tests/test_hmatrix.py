@@ -276,3 +276,27 @@ def test_hmatrix_fused_loglike_and_grad():
     gp_exact.set_parameter_vector(np.asarray(th2))
     ll2_exact = gp_exact.log_likelihood(y)
     assert abs(float(f(th2)) - ll2_exact) / abs(ll2_exact) < 2e-3
+
+
+def test_hmatrix_apply_sqrt_lanczos():
+    """apply_sqrt is a symmetric square root of (K + diag): applying it
+    twice reproduces the compressed matvec; gp.sample works."""
+    rng = np.random.default_rng(21)
+    n = 600
+    x = rng.uniform(0, 6, (n, 2))
+    gp = GP(1.0 * kernels.ExpSquaredKernel([1.0, 1.0], ndim=2),
+            solver=HMatrixSolver, min_size=32, rank=12)
+    gp.compute(x, 0.3)
+
+    v = rng.standard_normal(n)
+    Sv = gp.solver.apply_sqrt(v, num_steps=60)
+    SSv = gp.solver.apply_sqrt(Sv, num_steps=60)
+    Kv = np.asarray(gp.solver.apply_forward(v))
+    scale = np.abs(Kv).max()
+    assert np.allclose(SSv, Kv, atol=1e-5 * scale), (
+        np.abs(SSv - Kv).max(), scale
+    )
+
+    s = gp.sample(size=2)
+    assert s.shape == (2, n)
+    assert np.all(np.isfinite(s))
