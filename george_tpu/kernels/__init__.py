@@ -14,40 +14,21 @@ from .base import (  # noqa: F401
     NonStationaryKernel,
     safe_sqrt,
 )
-from .generated import (  # noqa: F401
-    LinearKernel,
-    RationalQuadraticKernel,
-    ExpKernel,
-    LocalGaussianKernel,
-    EmptyKernel,
-    CosineKernel,
-    Matern52Kernel,
-    ExpSine2Kernel,
-    ConstantKernel,
-    ExpSquaredKernel,
-    Matern32Kernel,
-    PolynomialKernel,
-    DotProductKernel,
+from .generated import *  # noqa: F401,F403  (XKernel + BaseXKernel pairs)
+from .generated import __all__ as _generated_all
+from .custom import (  # noqa: F401
+    LCMKernel,
+    WendlandC2Kernel,
+    BaseLCMKernel,
+    BaseWendlandC2Kernel,
 )
-from .custom import LCMKernel, WendlandC2Kernel  # noqa: F401
 
 __all__ = [
     "Kernel",
     "Sum",
     "Product",
-    "LinearKernel",
-    "RationalQuadraticKernel",
-    "ExpKernel",
-    "LocalGaussianKernel",
-    "EmptyKernel",
-    "CosineKernel",
-    "Matern52Kernel",
-    "ExpSine2Kernel",
-    "ConstantKernel",
-    "ExpSquaredKernel",
-    "Matern32Kernel",
-    "PolynomialKernel",
-    "DotProductKernel",
     "LCMKernel",
     "WendlandC2Kernel",
-]
+    "BaseLCMKernel",
+    "BaseWendlandC2Kernel",
+] + list(_generated_all)

@@ -230,11 +230,14 @@ class Kernel(ModelSet):
             if diag:
                 return np.array(self._eval("diag")(th, x1, x1))
             if nns is not None:
-                return self._get_value_sparse(
-                    x1,
-                    nns if isinstance(nns, tuple) and len(nns) == 2
-                    else None,
-                )
+                if isinstance(nns, tuple) and len(nns) == 2:
+                    pass  # already a (nbr_idx, row_ptr) CSR structure
+                elif hasattr(nns, "__len__") and len(nns) == len(x1):
+                    # ragged per-row listing (BallTree.query_radius style)
+                    nns = self.neighbors_to_csr(nns)
+                else:
+                    nns = None  # bare truthy trigger: recompute (ref behavior)
+                return self._get_value_sparse(x1, nns)
             return np.array(self._eval("gram")(th, x1, x1))
         x2 = self.parse_points(x2)
         if diag:
@@ -247,6 +250,22 @@ class Kernel(ModelSet):
 
         nbr_idx, row_ptr = radius_neighbors_csr(x, float(self.get_cutoff()))
         self.nns_saved = (nbr_idx, row_ptr)
+        return nbr_idx, row_ptr
+
+    def neighbors_to_csr(self, neighbors):
+        """Flatten a ragged per-row neighbor listing (e.g. the output of
+        ``BallTree.query_radius``) into ``(nbr_idx, row_ptr)`` CSR index
+        arrays.  Mirrors the reference surface (``kernels.py:107-123``)."""
+        lengths = np.fromiter(
+            (np.size(row) for row in neighbors),
+            count=len(neighbors), dtype=np.int64,
+        )
+        row_ptr = np.zeros(len(neighbors) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=row_ptr[1:])
+        nbr_idx = (
+            np.concatenate([np.ravel(row) for row in neighbors])
+            if len(neighbors) else np.empty(0)
+        ).astype(np.int64)
         return nbr_idx, row_ptr
 
     def _get_value_sparse(self, x, nns=None):

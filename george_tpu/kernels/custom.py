@@ -16,11 +16,17 @@ import jax.numpy as jnp
 from ..modeling import Model, ModelSet
 from .base import Kernel, safe_sqrt
 
-__all__ = ["LCMKernel", "WendlandC2Kernel"]
+__all__ = [
+    "LCMKernel", "WendlandC2Kernel",
+    "BaseLCMKernel", "BaseWendlandC2Kernel",
+]
 
 
 class _BaseWendlandC2Kernel(Model):
     parameter_names = ("log_rc",)
+
+
+BaseWendlandC2Kernel = _BaseWendlandC2Kernel
 
 
 class WendlandC2Kernel(Kernel):
@@ -116,6 +122,9 @@ class _BaseLCMKernel(Model):
         ]
         self.parameter_names = tuple(names)
         super(_BaseLCMKernel, self).__init__(*logBK)
+
+
+BaseLCMKernel = _BaseLCMKernel
 
 
 class LCMKernel(Kernel):

@@ -95,3 +95,45 @@ def test_solver_get_full_parity():
     gp_h.compute(x, 0.1)
     full_h = gp_h.solver.get_full()
     assert np.allclose(full_b, full_h, atol=1e-6)
+
+
+def test_base_kernel_classes_importable():
+    """The reference exposes BaseXKernel Model stubs alongside each
+    kernel class (``src/george/kernels.py:295-360``)."""
+    from george_tpu.kernels import (  # noqa: F401
+        BaseExpSquaredKernel,
+        BaseMatern32Kernel,
+        BaseConstantKernel,
+        BaseLCMKernel,
+        BaseWendlandC2Kernel,
+    )
+    from george_tpu.modeling import Model
+
+    assert issubclass(BaseExpSquaredKernel, Model)
+    assert BaseExpSquaredKernel().full_size == 0
+    assert BaseConstantKernel(log_constant=0.5).full_size == 1
+
+
+def test_neighbors_to_csr_roundtrip():
+    """``Kernel.neighbors_to_csr`` flattens ragged BallTree-style output
+    (reference ``kernels.py:107-123``) and the sparse path accepts it."""
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 10, 80))
+    k = kernels.WendlandC2Kernel(
+        log_rc=np.log(1.5), kernel_base=kernels.ExpSquaredKernel(metric=1.0)
+    )
+    ragged = [
+        np.flatnonzero(np.abs(x - xi) < 1.5) for xi in x
+    ]
+    nbr_idx, row_ptr = k.neighbors_to_csr(np.array(ragged, dtype=object))
+    assert row_ptr[0] == 0 and row_ptr[-1] == nbr_idx.size
+    np.testing.assert_array_equal(np.diff(row_ptr),
+                                  [len(r) for r in ragged])
+
+    dense = k.get_value(x)
+    sparse_tuple = k.get_value(x, nns=(nbr_idx, row_ptr)).toarray()
+    sparse_ragged = k.get_value(
+        x, nns=np.array(ragged, dtype=object)
+    ).toarray()
+    np.testing.assert_allclose(sparse_tuple, dense, atol=1e-12)
+    np.testing.assert_allclose(sparse_ragged, dense, atol=1e-12)
