@@ -221,7 +221,8 @@ class GP(ModelSet):
     def compute(self, x, yerr=0.0, nns=None, **kwargs):
         """Assemble and factorize ``K(x, x) + diag(yerr^2 + exp(wn))``."""
         self._x = self.parse_samples(x)
-        self._nns = nns
+        from .neighbors import normalize_nns
+        self._nns = normalize_nns(nns)
         try:
             self._yerr2 = float(yerr) ** 2 * np.ones(len(x))
         except TypeError:

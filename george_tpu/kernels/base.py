@@ -256,17 +256,9 @@ class Kernel(ModelSet):
         """Flatten a ragged per-row neighbor listing (e.g. the output of
         ``BallTree.query_radius``) into ``(nbr_idx, row_ptr)`` CSR index
         arrays.  Mirrors the reference surface (``kernels.py:107-123``)."""
-        lengths = np.fromiter(
-            (np.size(row) for row in neighbors),
-            count=len(neighbors), dtype=np.int64,
-        )
-        row_ptr = np.zeros(len(neighbors) + 1, dtype=np.int64)
-        np.cumsum(lengths, out=row_ptr[1:])
-        nbr_idx = (
-            np.concatenate([np.ravel(row) for row in neighbors])
-            if len(neighbors) else np.empty(0)
-        ).astype(np.int64)
-        return nbr_idx, row_ptr
+        from ..neighbors import ragged_to_csr
+
+        return ragged_to_csr(neighbors)
 
     def _get_value_sparse(self, x, nns=None):
         """CSR covariance; ``nns`` may carry a precomputed

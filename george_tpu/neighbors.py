@@ -20,6 +20,8 @@ import numpy as np
 
 __all__ = [
     "radius_neighbors_csr",
+    "ragged_to_csr",
+    "normalize_nns",
     "knn_indices",
     "nd_sort_samples",
     "morton_sort_samples",
@@ -33,6 +35,43 @@ def _native():
         return _kd if _kd.available() else None
     except Exception:
         return None
+
+
+def ragged_to_csr(neighbors):
+    """Flatten a ragged per-row neighbor listing (``BallTree.query_radius``
+    style: one index array per point) into ``(nbr_idx, row_ptr)`` CSR
+    index arrays (reference surface: ``kernels.py:107-123``)."""
+    lengths = np.fromiter(
+        (np.size(row) for row in neighbors),
+        count=len(neighbors), dtype=np.int64,
+    )
+    row_ptr = np.zeros(len(neighbors) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=row_ptr[1:])
+    nbr_idx = (
+        np.concatenate([np.ravel(row) for row in neighbors])
+        if len(neighbors) else np.empty(0)
+    ).astype(np.int64)
+    return nbr_idx, row_ptr
+
+
+def normalize_nns(nns):
+    """Canonicalize a user-supplied ``nns`` neighbor structure.
+
+    Accepted forms, mirroring everything the reference's call sites take:
+    ``None`` / a bare truthy trigger (pass through), a ``(nbr_idx,
+    row_ptr)`` CSR pair (pass through), a rectangular integer kNN matrix
+    (pass through — the hierarchical solver's format), or a ragged
+    per-row listing which is flattened to the CSR pair."""
+    if nns is None or np.isscalar(nns):
+        return nns
+    if isinstance(nns, tuple) and len(nns) == 2:
+        return nns
+    arr = np.asarray(nns)
+    if arr.dtype == object or (
+        arr.ndim == 1 and len(arr) and np.ndim(arr[0]) > 0
+    ):
+        return ragged_to_csr(nns)
+    return nns
 
 
 def radius_neighbors_csr(x, radius, include_self=True):

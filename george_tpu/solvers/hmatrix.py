@@ -471,6 +471,9 @@ class HMatrixSolver(object):
     def compute(self, x, yerr=0.0, nns=None, **kwargs):
         x = as_points(x)
         n = len(x)
+        # drop any jitted programs built against a previous compute()'s
+        # factors/points (stale-capture hazard — see ADVICE.md round 1)
+        self._sqrt_fns = {}
         yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
         if yerr2.size == 1:
             yerr2 = yerr2 * np.ones(n)
@@ -878,15 +881,16 @@ class HMatrixSolver(object):
         squeeze = r.ndim == 1
         R = r[None, :] if squeeze else r            # (size, n)
         Zp = self._pad(R.T)                          # (n_pad, size)
-        sqrt_one = jax.jit(
-            lambda b: lanczos_fn_matvec(
-                self._mv, b, jnp.sqrt, num_steps=m
-            )
-        )
-        cols = jax.vmap(sqrt_one)(jnp.asarray(Zp.T))
-        out = np.stack(
-            [self._unpad(np.asarray(c)) for c in cols], axis=0
-        )
+        sqrt_fn = self._sqrt_fns.get(m)
+        if sqrt_fn is None:
+            sqrt_fn = jax.jit(jax.vmap(
+                lambda b: lanczos_fn_matvec(
+                    self._mv, b, jnp.sqrt, num_steps=m
+                )
+            ))
+            self._sqrt_fns[m] = sqrt_fn
+        cols = sqrt_fn(jnp.asarray(Zp.T))            # (size, n_pad)
+        out = self._unpad(np.asarray(cols).T).T
         return out[0] if squeeze else out
 
     # -- matrix-free gradient (reference Regime B, gp.py:506-562) ----------

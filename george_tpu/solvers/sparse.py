@@ -178,6 +178,7 @@ def dia_apply(vals, offsets, diag, y):
     return out[:, 0] if squeeze else out
 
 
+@full_precision_matmuls
 def lanczos_fn_matvec(matvec, b, fn, num_steps=40):
     """``f(A) b`` for SPD ``A`` by the Lanczos method: ``b`` spans a
     Krylov space ``V_m``, ``A`` restricted to it is the tridiagonal
@@ -383,8 +384,31 @@ class SparseSolver(object):
         radius = self.radius
         if radius is None:
             radius = self.kernel.get_cutoff()
-        if nns is not None and not np.isscalar(nns):
+        from ..neighbors import normalize_nns
+
+        nns = normalize_nns(nns)
+        if isinstance(nns, tuple):
             nbr_idx, row_ptr = nns
+        elif nns is not None and np.ndim(nns) == 2:
+            # rectangular kNN matrix (the hierarchical solver's format,
+            # -1 = missing): kNN relations are not symmetric, but CG/SLQ
+            # need a symmetric operator — use the union pattern
+            # {(i,j)} ∪ {(j,i)}, deduplicated, as the CSR structure
+            arr = np.asarray(nns, dtype=np.int64)
+            i0 = np.repeat(np.arange(n, dtype=np.int64), arr.shape[1])
+            j0 = arr.ravel()
+            keep = (j0 >= 0) & (j0 < n)
+            i0, j0 = i0[keep], j0[keep]
+            ii = np.concatenate([i0, j0])
+            jj = np.concatenate([j0, i0])
+            order = np.lexsort((jj, ii))
+            ii, jj = ii[order], jj[order]
+            uniq = np.ones(len(ii), dtype=bool)
+            uniq[1:] = (ii[1:] != ii[:-1]) | (jj[1:] != jj[:-1])
+            ii, jj = ii[uniq], jj[uniq]
+            row_ptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(ii, minlength=n), out=row_ptr[1:])
+            nbr_idx = jj
         else:
             nbr_idx, row_ptr = radius_neighbors_csr(x, float(radius))
         self.nnz = int(row_ptr[-1])
@@ -501,6 +525,21 @@ class SparseSolver(object):
             )
 
         self._solve = jax.jit(solve)
+
+        def sqrt_batch(th, B, m):
+            # rows of B transported by (K + diag)^{1/2}; reuses the same
+            # fixed-theta application as CG/SLQ (incl. the banded and
+            # Pallas fast paths), with the entry table traced once per
+            # (shape, m) instead of captured as a closure constant
+            vals = ell_values(pair, th, self._x, nbr, mask)
+            return jax.vmap(
+                lambda b: lanczos_fn_matvec(
+                    lambda v: apply_fixed(vals, v), b, jnp.sqrt,
+                    num_steps=m,
+                )
+            )(B)
+
+        self._sqrt_batch = jax.jit(sqrt_batch, static_argnums=(2,))
 
         def logdet_fn(th, key):
             vals = ell_values(pair, th, self._x, nbr, mask)
@@ -685,21 +724,9 @@ class SparseSolver(object):
         r = np.asarray(r, dtype=np.float64)
         squeeze = r.ndim == 1
         R = r[None, :] if squeeze else r            # (size, n)
-        vals = ell_values(
-            self.kernel.pair_fn, self._theta, self._x, self._nbr,
-            self._mask,
+        cols = self._sqrt_batch(
+            self._theta, jnp.asarray(self._pad(R.T).T), m
         )
-        offsets = self._dia_offsets
-
-        def mv(v):
-            if offsets is not None:
-                return dia_apply(vals, offsets, self._diag, v)
-            return ell_apply(vals, self._nbr, self._diag, v)
-
-        sqrt_one = jax.jit(
-            lambda b: lanczos_fn_matvec(mv, b, jnp.sqrt, num_steps=m)
-        )
-        cols = jax.vmap(sqrt_one)(jnp.asarray(self._pad(R.T).T))
         out = self._unpad(np.asarray(cols).T).T
         return out[0] if squeeze else out
 

@@ -324,3 +324,43 @@ def test_sparse_apply_sqrt_lanczos():
     s = gp.sample(size=3)
     assert s.shape == (3, n)
     assert np.all(np.isfinite(s))
+
+
+def test_gp_compute_accepts_ragged_nns():
+    """BallTree.query_radius-style ragged neighbor listings are accepted
+    end-to-end: GP.compute -> SparseSolver (reference trigger surface,
+    ``kernels.py:131-144`` there)."""
+    rng = np.random.default_rng(11)
+    n = 120
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    rc = 1.5
+    k = kernels.WendlandC2Kernel(
+        log_rc=np.log(rc), kernel_base=kernels.ExpSquaredKernel(metric=1.0)
+    )
+    ragged = np.array(
+        [np.flatnonzero(np.abs(x - xi) < rc) for xi in x], dtype=object
+    )
+
+    gp_r = GP(k, solver=SparseSolver)
+    gp_r.compute(x, 0.1, nns=ragged)
+    gp_c = GP(k, solver=SparseSolver)
+    gp_c.compute(x, 0.1)
+    assert np.isfinite(gp_r.log_likelihood(y))
+    np.testing.assert_allclose(
+        gp_r.log_likelihood(y), gp_c.log_likelihood(y), rtol=1e-10
+    )
+
+    # rectangular kNN-matrix form (with -1 padding) is accepted too;
+    # with enough neighbors to cover the compact support, the
+    # symmetrized pattern reproduces the radius result exactly
+    kcap = 48
+    knn = np.full((n, kcap), -1, dtype=np.int64)
+    for i in range(n):
+        idx = np.argsort(np.abs(x - x[i]))[:kcap]
+        knn[i, : len(idx)] = idx
+    gp_k = GP(k, solver=SparseSolver)
+    gp_k.compute(x, 0.1, nns=knn)
+    np.testing.assert_allclose(
+        gp_k.log_likelihood(y), gp_c.log_likelihood(y), rtol=1e-8
+    )
