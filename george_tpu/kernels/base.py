@@ -230,11 +230,16 @@ class Kernel(ModelSet):
             if diag:
                 return np.array(self._eval("diag")(th, x1, x1))
             if nns is not None:
-                if isinstance(nns, tuple) and len(nns) == 2:
-                    pass  # already a (nbr_idx, row_ptr) CSR structure
-                elif hasattr(nns, "__len__") and len(nns) == len(x1):
-                    # ragged per-row listing (BallTree.query_radius style)
-                    nns = self.neighbors_to_csr(nns)
+                from ..neighbors import knn_matrix_to_csr, normalize_nns
+
+                nns = normalize_nns(nns)
+                if isinstance(nns, tuple):
+                    pass  # (nbr_idx, row_ptr) CSR structure
+                elif np.ndim(nns) == 2 and len(nns) == len(x1):
+                    # rectangular kNN matrix (-1 = missing): use the
+                    # symmetrized union pattern so the sparse covariance
+                    # stays symmetric and keeps its diagonal
+                    nns = knn_matrix_to_csr(nns, len(x1))
                 else:
                     nns = None  # bare truthy trigger: recompute (ref behavior)
                 return self._get_value_sparse(x1, nns)

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "radius_neighbors_csr",
     "ragged_to_csr",
+    "knn_matrix_to_csr",
     "normalize_nns",
     "knn_indices",
     "nd_sort_samples",
@@ -52,6 +53,30 @@ def ragged_to_csr(neighbors):
         if len(neighbors) else np.empty(0)
     ).astype(np.int64)
     return nbr_idx, row_ptr
+
+
+def knn_matrix_to_csr(arr, n):
+    """Symmetrized CSR pattern from a rectangular kNN matrix (one
+    fixed-size neighbor list per row, ``-1`` = missing).  kNN relations
+    are not symmetric, but symmetric operators (CG/SLQ, covariance
+    evaluation) need a symmetric pattern — use the union
+    ``{(i,j)} ∪ {(j,i)} ∪ {(i,i)}``, deduplicated."""
+    arr = np.asarray(arr, dtype=np.int64)
+    i0 = np.repeat(np.arange(n, dtype=np.int64), arr.shape[1])
+    j0 = arr.ravel()
+    keep = (j0 >= 0) & (j0 < n)
+    i0, j0 = i0[keep], j0[keep]
+    eye = np.arange(n, dtype=np.int64)  # self-pairs: the diagonal must
+    ii = np.concatenate([i0, j0, eye])  # always be in the pattern
+    jj = np.concatenate([j0, i0, eye])
+    order = np.lexsort((jj, ii))
+    ii, jj = ii[order], jj[order]
+    uniq = np.ones(len(ii), dtype=bool)
+    uniq[1:] = (ii[1:] != ii[:-1]) | (jj[1:] != jj[:-1])
+    ii, jj = ii[uniq], jj[uniq]
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ii, minlength=n), out=row_ptr[1:])
+    return jj, row_ptr
 
 
 def normalize_nns(nns):

@@ -54,6 +54,7 @@ from .hodlr import (
     hodlr_factor_sym,
     hodlr_solve,
     hodlr_sqrt_solve,
+    ridge_gram,
     select_aca_pivots,
 )
 from .sparse import slq_logdet
@@ -211,14 +212,15 @@ def _gather_blocks(xpad, valid, idx):
 
 
 @pinned_full_precision
-def hmatrix_compress(pair_fn, theta, xpad, valid, hs):
+def hmatrix_compress(pair_fn, theta, xpad, valid, hs, ridge_floor=None):
     """Ridge-CUR factors ``K[a, b] ~= C @ Q^T`` for every far pair.
 
     Same interpolation as the weak solver's ``_all_lowrank`` — and the
-    same design invariant: ``Q^T = G^{-1} (M^T R)`` with the ridge
-    pseudo-inverse solved against the PROJECTED right-hand side.
-    Returns a list (one entry per populated depth) of ``(C, Q)`` with
-    shapes ``(P, s, c)``.
+    same design invariant, through the shared :func:`ridge_gram`:
+    ``Q^T = G^{-1} (M^T R)`` with the ridge pseudo-inverse solved
+    against the PROJECTED right-hand side.  ``ridge_floor`` carries the
+    ``tol_abs`` semantics.  Returns a list (one entry per populated
+    depth) of ``(C, Q)`` with shapes ``(P, s, c)``.
     """
     dtype = xpad.dtype
     out = []
@@ -248,13 +250,7 @@ def hmatrix_compress(pair_fn, theta, xpad, valid, hs):
         C = blk(xA, vA, xJ, vJ)                        # (P, s, c)
         R = blk(xI, vI, xB, vB)                        # (P, c, s)
 
-        eps = 100.0 * jnp.finfo(dtype).eps
-        G = jnp.einsum("pki,pkj->pij", M, M)
-        lam = (
-            eps * jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
-            + jnp.finfo(dtype).eps
-        )
-        G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
+        G = ridge_gram(M, ridge_floor)
         rhs = jnp.einsum("pkc,pks->pcs", M, R)         # projected M^T R
         Qt = jnp.linalg.solve(G, rhs)                  # (P, c, s)
         out.append((C, jnp.swapaxes(Qt, -1, -2)))
@@ -447,7 +443,7 @@ class HMatrixSolver(object):
                  precond_rank=None, nystrom_rank=256, cg_tol=1e-10,
                  maxiter=200, num_probes=16, num_steps=12, seed=42,
                  sort=True, verbose=False, store_near="auto",
-                 store_near_budget=2 << 30, **kwargs):
+                 store_near_budget=2 << 30, tol_abs=None, **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         self.rank = int(rank)
@@ -465,6 +461,7 @@ class HMatrixSolver(object):
         self.verbose = bool(verbose)
         self.store_near = store_near
         self.store_near_budget = int(store_near_budget)
+        self.tol_abs = None if tol_abs is None else float(tol_abs)
         self.computed = False
         self.log_determinant = None
 
@@ -509,7 +506,7 @@ class HMatrixSolver(object):
         # _mv_theta recompresses inside, so jvp-in-theta is exact
         self._compress_fn = jax.jit(
             lambda th: hmatrix_compress(pair, th, self._xpad, self._valid,
-                                        hs)
+                                        hs, ridge_floor=self.tol_abs)
         )
         self._far = self._compress_fn(theta)
 
@@ -542,7 +539,8 @@ class HMatrixSolver(object):
         self._mv = jax.jit(mv)
 
         def mv_theta(th, Y):
-            fac = hmatrix_compress(pair, th, self._xpad, self._valid, hs)
+            fac = hmatrix_compress(pair, th, self._xpad, self._valid, hs,
+                                   ridge_floor=self.tol_abs)
             return hmatrix_matvec(
                 pair, th, self._xpad, self._valid, self._diag_pad, hs,
                 fac, Y,
@@ -746,7 +744,8 @@ class HMatrixSolver(object):
         key = jax.random.PRNGKey(self.seed)
 
         def K_parts(th):
-            far = hmatrix_compress(pair, th, xpad, valid, hs)
+            far = hmatrix_compress(pair, th, xpad, valid, hs,
+                                   ridge_floor=self.tol_abs)
             nearv = (
                 hmatrix_near_values(pair, th, xpad, valid, hs)
                 if store else None
@@ -948,7 +947,7 @@ class HMatrixSolver(object):
         state = self.__dict__.copy()
         for k in ("_mv", "_mv_theta", "_solve", "_precond",
                   "_compress_fn", "_sym", "_weak", "_nystrom", "_far",
-                  "_near", "_hs", "_st",
+                  "_near", "_hs", "_st", "_sqrt_fns",
                   "_fused_whiten", "_fused_whitenT", "_fused_ld_base",
                   "_xpad", "_valid", "_diag_pad", "_theta"):
             state.pop(k, None)

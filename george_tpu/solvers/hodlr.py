@@ -361,6 +361,33 @@ def _cho_solve_lower(L, y):
 
 
 @pinned_full_precision
+def ridge_gram(M, ridge_floor=None):
+    """``G = M^T M + lam I`` — the ridge-regularized skeleton gram.
+
+    This is one half of the project's CUR design invariant (see
+    ``_all_lowrank`` and CLAUDE.md): the interpolant must be the ridge
+    pseudo-inverse of ``M`` solved against the PROJECTED right-hand side
+    ``M^T R``.  ``lam`` scales with ``trace(G)/c`` (relative eps ridge)
+    plus an absolute floor — ``ridge_floor`` carries the reference's
+    ``tol_abs`` semantics (singular directions below it are damped; G
+    holds squared singular values, hence the square). Shared by the weak
+    (HODLR) and strong (H-matrix) compressions so the numerics cannot
+    drift apart.  ``M``: ``(..., c, c)``.
+    """
+    dtype = M.dtype
+    c = M.shape[-1]
+    eps = 100.0 * jnp.finfo(dtype).eps
+    G = jnp.einsum("...ki,...kj->...ij", M, M)
+    abs_floor = float(jnp.finfo(dtype).eps)
+    if ridge_floor is not None:
+        abs_floor = max(abs_floor, float(ridge_floor) ** 2)
+    lam = (
+        eps * jnp.trace(G, axis1=-2, axis2=-1)[..., None] / c
+        + abs_floor
+    )
+    return G + lam[..., None] * jnp.eye(c, dtype=dtype)
+
+
 def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     """Skeleton (CUR) factors for EVERY level's sibling couplings, with
     the kernel-entry assembly and the interpolation solves batched over
@@ -393,18 +420,7 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
                                                xb_, vb_, remat)
     )
     M = blk(xI, vI, xJ, vJ)                     # (P, c, c)
-    eps = 100.0 * jnp.finfo(dtype).eps
-    G = jnp.einsum("pki,pkj->pij", M, M)
-    abs_floor = float(jnp.finfo(dtype).eps)
-    if struct.ridge_floor is not None:
-        # tol_abs semantics: coupling singular directions below tol_abs
-        # are damped (G carries squared singular values)
-        abs_floor = max(abs_floor, struct.ridge_floor ** 2)
-    lam = (
-        eps * jnp.trace(G, axis1=-2, axis2=-1)[:, None] / c
-        + abs_floor
-    )
-    G = G + lam[..., None] * jnp.eye(c, dtype=dtype)
+    G = ridge_gram(M, struct.ridge_floor)
 
     def ev(theta, xa, xb):
         return jax.vmap(
@@ -1042,6 +1058,7 @@ class HODLRSolver(object):
         self._sym_factors = None
         self._sqrt_fn = None
         self._sym_theta = None
+        self._sym_factor_fn = None
         x = as_points(x)
         n = len(x)
         yerr2 = np.atleast_1d(np.asarray(yerr, dtype=np.float64)) ** 2
@@ -1053,6 +1070,17 @@ class HODLRSolver(object):
             else np.arange(n, dtype=np.int64)
         )
         xs = x[self._perm]
+        # the skeleton-guidance path only understands a rectangular kNN
+        # matrix (the reference's precomputed-neighbor format,
+        # ``_hodlr.cpp:121-128``); CSR tuples / ragged listings / bare
+        # triggers are sparse-solver structures — accept and ignore them,
+        # as the reference's HODLR ctor does with foreign nns forms
+        if nns is not None and (
+            isinstance(nns, tuple) or np.isscalar(nns)
+            or np.asarray(nns).dtype == object
+            or np.ndim(nns) != 2
+        ):
+            nns = None
         if nns is None and self.knn:
             from ..neighbors import knn_indices
 
@@ -1338,13 +1366,19 @@ class HODLRSolver(object):
             or self.__dict__.get("_sym_theta") is None
             or not np.array_equal(theta, self._sym_theta)
         ):
-            pair = self.kernel.pair_fn
-            st = self._struct
-            self._sym_factors, _ = jax.jit(
-                lambda th: hodlr_factor_sym(
-                    pair, th, self._xpad, self._valid, self._diag_pad, st
+            if self.__dict__.get("_sym_factor_fn") is None:
+                # one jitted program of theta, built per compute(): a
+                # theta change is then a cheap re-execution, not a fresh
+                # trace+compile (minutes over the TPU tunnel)
+                pair = self.kernel.pair_fn
+                st = self._struct
+                self._sym_factor_fn = jax.jit(
+                    lambda th: hodlr_factor_sym(
+                        pair, th, self._xpad, self._valid,
+                        self._diag_pad, st,
+                    )
                 )
-            )(jnp.asarray(theta))
+            self._sym_factors, _ = self._sym_factor_fn(jnp.asarray(theta))
             self._sym_theta = theta
             self._sqrt_fn = None
         if self.__dict__.get("_sqrt_fn") is None:
@@ -1407,7 +1441,9 @@ class HODLRSolver(object):
         state = self.__dict__.copy()
         for k in ("_factors", "_xpad", "_valid", "_diag_pad",
                   "_factor_fn", "_solve_fn", "_mv_fn", "_mv_jvp_fn",
-                  "_sym_factors", "_sqrt_fn", "_row_sharding"):
+                  "_sym_factors", "_sqrt_fn", "_sym_factor_fn",
+                  "_row_sharding",
+                  "_struct"):  # _struct carries the mesh too
             state.pop(k, None)
         state["mesh"] = None  # device meshes do not serialize
         state["computed"] = False
@@ -1415,3 +1451,4 @@ class HODLRSolver(object):
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.__dict__.setdefault("_struct", None)

@@ -390,25 +390,12 @@ class SparseSolver(object):
         if isinstance(nns, tuple):
             nbr_idx, row_ptr = nns
         elif nns is not None and np.ndim(nns) == 2:
-            # rectangular kNN matrix (the hierarchical solver's format,
-            # -1 = missing): kNN relations are not symmetric, but CG/SLQ
-            # need a symmetric operator — use the union pattern
-            # {(i,j)} ∪ {(j,i)}, deduplicated, as the CSR structure
-            arr = np.asarray(nns, dtype=np.int64)
-            i0 = np.repeat(np.arange(n, dtype=np.int64), arr.shape[1])
-            j0 = arr.ravel()
-            keep = (j0 >= 0) & (j0 < n)
-            i0, j0 = i0[keep], j0[keep]
-            ii = np.concatenate([i0, j0])
-            jj = np.concatenate([j0, i0])
-            order = np.lexsort((jj, ii))
-            ii, jj = ii[order], jj[order]
-            uniq = np.ones(len(ii), dtype=bool)
-            uniq[1:] = (ii[1:] != ii[:-1]) | (jj[1:] != jj[:-1])
-            ii, jj = ii[uniq], jj[uniq]
-            row_ptr = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(np.bincount(ii, minlength=n), out=row_ptr[1:])
-            nbr_idx = jj
+            # rectangular kNN matrix (the hierarchical solver's format):
+            # symmetrized union pattern incl. self-pairs — CG/SLQ need a
+            # symmetric operator and the diagonal must be in the pattern
+            from ..neighbors import knn_matrix_to_csr
+
+            nbr_idx, row_ptr = knn_matrix_to_csr(nns, n)
         else:
             nbr_idx, row_ptr = radius_neighbors_csr(x, float(radius))
         self.nnz = int(row_ptr[-1])
@@ -627,9 +614,11 @@ class SparseSolver(object):
 
         def slq_ld_bwd(res, g):
             vals, diag_pad = res
+            # the SAME probe set as the forward SLQ estimate (which draws
+            # (num_probes, n_pad) rows) — CRN between value and gradient
             V = jax.random.rademacher(
-                key, (n_pad, num_probes), dtype=vals.dtype
-            )
+                key, (num_probes, n_pad), dtype=vals.dtype
+            ).T
             KinvV, _ = cg_solve(
                 lambda Y: apply_of(vals, diag_pad, Y), V,
                 pdiag_of(vals, diag_pad), tol=eff_tol, maxiter=maxiter,
@@ -795,8 +784,8 @@ class SparseSolver(object):
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        for k in ("_mv", "_solve", "_x", "_nbr", "_mask", "_diag",
-                  "_pdiag", "_theta"):
+        for k in ("_mv", "_solve", "_sqrt_batch", "_x", "_nbr", "_mask",
+                  "_diag", "_pdiag", "_theta"):
             state.pop(k, None)
         state["computed"] = False
         return state

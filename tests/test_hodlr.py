@@ -423,3 +423,30 @@ def test_hodlr_recompute_invalidates_caches():
     # W W^T == K for the NEW data/theta
     W = s.apply_sqrt(np.eye(len(x2)))
     assert np.linalg.norm(W.T @ W - K2) / np.linalg.norm(K2) < 1e-5
+
+
+def test_hodlr_accepts_foreign_nns_forms():
+    """GP.compute-normalized nns forms (CSR tuple, ragged listing, bare
+    trigger) must not crash the hierarchical solver — they are sparse
+    structures, accepted and ignored like the reference ctor does."""
+    from george_tpu import GP
+
+    rng = np.random.default_rng(2)
+    n = 96
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x)
+    k = kernels.ExpSquaredKernel(metric=1.0)
+
+    base = GP(k, solver=HODLRSolver, solver_kwargs=dict(min_size=32))
+    base.compute(x, 0.1)
+    ll0 = base.log_likelihood(y)
+
+    ragged = np.array(
+        [np.flatnonzero(np.abs(x - xi) < 1.0) for xi in x], dtype=object
+    )
+    from george_tpu.neighbors import ragged_to_csr
+
+    for nns in (True, ragged, ragged_to_csr(ragged)):
+        gp = GP(k, solver=HODLRSolver, solver_kwargs=dict(min_size=32))
+        gp.compute(x, 0.1, nns=nns)
+        np.testing.assert_allclose(gp.log_likelihood(y), ll0, rtol=1e-8)
