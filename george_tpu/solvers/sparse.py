@@ -352,9 +352,15 @@ class SparseSolver(object):
 
     def __init__(self, kernel, radius=None, cg_tol=1e-10, maxiter=1000,
                  num_probes=16, num_steps=30, seed=42, mesh=None,
-                 shard_axis="data", **kwargs):
+                 shard_axis="data", direct="auto", **kwargs):
         self.kernel = kernel
         self.radius = radius
+        # banded DIRECT factorization (solvers/banded.py): exact logdet/
+        # solves/gradients for sorted-1-D compact support — the TPU-native
+        # analogue of the reference's SuperLU_DIST sparse-direct backend.
+        # "auto" = use it whenever the structure is banded and feasible;
+        # False = always iterate (CG + SLQ); True = require it.
+        self.direct = direct
         self.cg_tol = float(cg_tol)
         self.maxiter = int(maxiter)
         self.num_probes = int(num_probes)
@@ -528,17 +534,84 @@ class SparseSolver(object):
 
         self._sqrt_batch = jax.jit(sqrt_batch, static_argnums=(2,))
 
-        def logdet_fn(th, key):
-            vals = ell_values(pair, th, self._x, nbr, mask)
-            return slq_logdet(
-                lambda v: apply_fixed(vals, v),
-                n, self._x.dtype, key,
-                num_probes=self.num_probes, num_steps=self.num_steps,
+        # Banded DIRECT path (solvers/banded.py): exact block-tridiagonal
+        # Cholesky replaces CG solves and the stochastic SLQ logdet —
+        # the reference's sparse-direct semantics (SuperLU_DIST,
+        # ``basic.py:177,206,258`` there) with TPU-friendly batched
+        # (b, b) scan steps.
+        self._direct_loglike = None
+        self._direct_grad = None
+        use_direct = (
+            offsets is not None
+            and self.mesh is None
+            and self.direct in ("auto", True)
+        )
+        bsz = None
+        if use_direct:
+            from .banded import band_block_size
+
+            bsz = band_block_size(
+                n, offsets, itemsize=self._x.dtype.itemsize
+            )
+            use_direct = bsz is not None
+        if self.direct is True and not use_direct:
+            raise ValueError(
+                "direct=True, but the structure is not banded (or the "
+                "band is infeasibly wide) — the direct factorization "
+                "needs sorted-1-D compact support on a single device"
             )
 
-        ld = jax.jit(logdet_fn)(theta, jax.random.PRNGKey(self.seed))
-        if not bool(jnp.isfinite(ld)):
-            raise np.linalg.LinAlgError("SLQ log-determinant diverged")
+        if use_direct:
+            from .banded import (
+                band_blocks, banded_cholesky, banded_solve,
+                banded_sqrt_matvec, banded_loglike_fn,
+            )
+
+            def ev(th):
+                return ell_values(pair, th, self._x, nbr, mask)
+
+            fused = banded_loglike_fn(ev, offsets, bsz, n)
+            self._direct_loglike = jax.jit(fused)
+            self._direct_grad = jax.jit(jax.grad(fused, argnums=(0, 1)))
+
+            def dsolve(th, B):
+                A, Bb = band_blocks(ev(th), offsets, diag, bsz)
+                Ls, Cs, _ = banded_cholesky(A, Bb)
+                return banded_solve(Ls, Cs, B), jnp.zeros((), jnp.int32)
+
+            self._solve = jax.jit(dsolve)
+
+            def dsqrt(th, B, m):
+                # exact triangular transport W with K + diag = W W^T;
+                # the Lanczos step count m is irrelevant here
+                A, Bb = band_blocks(ev(th), offsets, diag, bsz)
+                Ls, Cs, _ = banded_cholesky(A, Bb)
+                return banded_sqrt_matvec(Ls, Cs, B.T).T
+
+            self._sqrt_batch = jax.jit(dsqrt, static_argnums=(2,))
+
+            ld = jax.jit(
+                lambda th: banded_cholesky(
+                    *band_blocks(ev(th), offsets, diag, bsz)
+                )[2]
+            )(theta)
+            if not bool(jnp.isfinite(ld)):
+                raise np.linalg.LinAlgError(
+                    "banded Cholesky log-determinant is not finite"
+                )
+        else:
+            def logdet_fn(th, key):
+                vals = ell_values(pair, th, self._x, nbr, mask)
+                return slq_logdet(
+                    lambda v: apply_fixed(vals, v),
+                    n, self._x.dtype, key,
+                    num_probes=self.num_probes,
+                    num_steps=self.num_steps,
+                )
+
+            ld = jax.jit(logdet_fn)(theta, jax.random.PRNGKey(self.seed))
+            if not bool(jnp.isfinite(ld)):
+                raise np.linalg.LinAlgError("SLQ log-determinant diverged")
         self.log_determinant = float(ld)
         self.computed = True
 
@@ -553,6 +626,10 @@ class SparseSolver(object):
         noise). This is what lets ``GP.log_prob_fn`` drive samplers
         through the compact-support path instead of falling back to a
         dense O(n^2) assembly."""
+        if getattr(self, "_direct_loglike", None) is not None:
+            # banded direct: exact, deterministic, and exactly
+            # differentiable — no CG implicit solves, no SLQ noise
+            return self._direct_loglike
         pair = self.kernel.pair_fn
         nbr, mask = self._nbr, self._mask
         x = self._x
@@ -726,7 +803,32 @@ class SparseSolver(object):
 
         Returns the gradient over the *active* GP parameter vector (mean,
         white-noise, kernel blocks), matching ``GP.grad_log_likelihood``.
+
+        On the banded direct path the whole gradient is EXACT: the
+        kernel and white-noise blocks come out of one reverse sweep of
+        the fused block-Cholesky likelihood (``jax.grad`` w.r.t. theta
+        and the diagonal), replacing the Hutchinson trace estimates.
         """
+        if getattr(self, "_direct_grad", None) is not None:
+            alpha_j = jnp.asarray(np.asarray(alpha))
+            r = self._mv(self._theta, alpha_j)      # (K + diag) alpha
+            g_theta, g_diag = self._direct_grad(self._theta, self._diag, r)
+            g_theta = np.asarray(g_theta)
+            g_diag = np.asarray(g_diag)             # = 0.5(a_i^2 - K^{-1}_ii)
+            mean_g = []
+            if len(gp.mean):
+                mu_g = gp._call_mean_gradient(np.asarray(x))
+                mean_g = list(np.dot(mu_g, np.asarray(alpha)))
+            wn_g = []
+            if len(gp.white_noise):
+                wn = gp._call_white_noise(np.asarray(x))
+                wng = gp._call_white_noise_gradient(np.asarray(x))
+                wn_g = list(
+                    np.sum((np.exp(wn) * g_diag)[None, :] * wng, axis=1)
+                )
+            kmask = gp.kernel.unfrozen_mask
+            return np.array(mean_g + wn_g + list(g_theta[kmask]))
+
         alpha = jnp.asarray(np.asarray(alpha))
         theta = self._theta
         nparam = int(theta.shape[0])
@@ -784,7 +886,8 @@ class SparseSolver(object):
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        for k in ("_mv", "_solve", "_sqrt_batch", "_x", "_nbr", "_mask",
+        for k in ("_mv", "_solve", "_sqrt_batch", "_direct_loglike",
+                  "_direct_grad", "_x", "_nbr", "_mask",
                   "_diag", "_pdiag", "_theta"):
             state.pop(k, None)
         state["computed"] = False

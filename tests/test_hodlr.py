@@ -437,7 +437,7 @@ def test_hodlr_accepts_foreign_nns_forms():
     y = np.sin(x)
     k = kernels.ExpSquaredKernel(metric=1.0)
 
-    base = GP(k, solver=HODLRSolver, solver_kwargs=dict(min_size=32))
+    base = GP(k, solver=HODLRSolver, min_size=32)
     base.compute(x, 0.1)
     ll0 = base.log_likelihood(y)
 
@@ -447,6 +447,6 @@ def test_hodlr_accepts_foreign_nns_forms():
     from george_tpu.neighbors import ragged_to_csr
 
     for nns in (True, ragged, ragged_to_csr(ragged)):
-        gp = GP(k, solver=HODLRSolver, solver_kwargs=dict(min_size=32))
+        gp = GP(k, solver=HODLRSolver, min_size=32)
         gp.compute(x, 0.1, nns=nns)
         np.testing.assert_allclose(gp.log_likelihood(y), ll0, rtol=1e-8)

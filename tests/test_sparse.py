@@ -301,15 +301,18 @@ def test_sparse_fused_pdiag_boundary_rows():
 
 
 def test_sparse_apply_sqrt_lanczos():
-    """apply_sqrt is a symmetric square root: applying it twice
-    reproduces (K + diag) v; gp.sample draws finite prior samples."""
+    """apply_sqrt on the ITERATIVE path is a symmetric square root:
+    applying it twice reproduces (K + diag) v; gp.sample draws finite
+    prior samples.  (``direct=False`` pins the Lanczos implementation —
+    the banded direct path uses the triangular factor instead, tested in
+    ``test_sparse_direct_banded``.)"""
     rng = np.random.default_rng(15)
     n = 220
     x = np.sort(rng.uniform(0, 18, n))
     k = 1.0 * kernels.WendlandC2Kernel(
         log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.6)
     )
-    gp = GP(k, solver=SparseSolver)
+    gp = GP(k, solver=SparseSolver, direct=False)
     gp.compute(x, 0.3)
 
     v = rng.standard_normal(n)
@@ -364,3 +367,76 @@ def test_gp_compute_accepts_ragged_nns():
     np.testing.assert_allclose(
         gp_k.log_likelihood(y), gp_c.log_likelihood(y), rtol=1e-8
     )
+
+
+def test_sparse_direct_banded():
+    """The banded direct path (block-tridiagonal Cholesky,
+    ``solvers/banded.py``) is EXACT: log-likelihood, gradient, fused
+    log_prob_fn value+grad, solves, and the triangular square root all
+    match the dense solver to near machine precision — the TPU-native
+    sparse-direct semantics of the reference's SuperLU backend
+    (``basic.py:177,206,258`` there)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    n = 500
+    x = np.sort(rng.uniform(0, 25, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    k = kernels.WendlandC2Kernel(
+        log_rc=np.log(1.5), kernel_base=kernels.ExpSquaredKernel(metric=1.0)
+    )
+
+    gp = GP(k, solver=SparseSolver)
+    gp.compute(x, 0.1)
+    assert gp.solver._direct_loglike is not None, "direct path not taken"
+
+    gpb = GP(k, solver=BasicSolver)
+    gpb.compute(x, 0.1)
+
+    np.testing.assert_allclose(
+        gp.log_likelihood(y), gpb.log_likelihood(y), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        gp.solver.log_determinant, gpb.solver.log_determinant, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        gp.grad_log_likelihood(y), gpb.grad_log_likelihood(y),
+        rtol=1e-7, atol=1e-9,
+    )
+
+    # fused sampler surface: exact value AND exact jax.grad
+    f = gp.log_prob_fn(x, y, 0.1, gate_prior=False)
+    theta = jnp.asarray(gp.get_parameter_vector())
+    np.testing.assert_allclose(
+        float(f(theta)), gpb.log_likelihood(y), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(theta)), gpb.grad_log_likelihood(y),
+        rtol=1e-7, atol=1e-9,
+    )
+
+    # solves and the BasicSolver apply_sqrt contract R^T R = K + diag
+    K = gpb.get_matrix(x) + np.diag(0.01 * np.ones(n))
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        gp.solver.apply_inverse(v), np.linalg.solve(K, v), atol=1e-9
+    )
+    R = gp.solver.apply_sqrt(np.eye(n))
+    np.testing.assert_allclose(R.T @ R, K, atol=1e-9)
+
+    # opting out restores the iterative machinery
+    gpi = GP(k, solver=SparseSolver, direct=False)
+    gpi.compute(x, 0.1)
+    assert gpi.solver._direct_loglike is None
+
+    # direct=True on a non-banded structure must refuse loudly
+    x2 = rng.uniform(0, 10, (64, 2))
+    k2 = kernels.WendlandC2Kernel(
+        log_rc=np.log(2.0),
+        kernel_base=kernels.ExpSquaredKernel(metric=[1.0, 1.0], ndim=2),
+        ndim=2,
+    )
+    with pytest.raises(ValueError):
+        s = SparseSolver(k2, direct=True)
+        s.compute(x2, 0.1)
