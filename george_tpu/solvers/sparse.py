@@ -574,31 +574,36 @@ class SparseSolver(object):
             self._direct_loglike = jax.jit(fused)
             self._direct_grad = jax.jit(jax.grad(fused, argnums=(0, 1)))
 
-            def dsolve(th, B):
-                A, Bb = band_blocks(ev(th), offsets, diag, bsz)
-                Ls, Cs, _ = banded_cholesky(A, Bb)
-                return banded_solve(Ls, Cs, B), jnp.zeros((), jnp.int32)
-
-            self._solve = jax.jit(dsolve)
-
-            def dsqrt(th, B, m):
-                # exact triangular transport W with K + diag = W W^T;
-                # the Lanczos step count m is irrelevant here
-                A, Bb = band_blocks(ev(th), offsets, diag, bsz)
-                Ls, Cs, _ = banded_cholesky(A, Bb)
-                return banded_sqrt_matvec(Ls, Cs, B.T).T
-
-            self._sqrt_batch = jax.jit(dsqrt, static_argnums=(2,))
-
-            ld = jax.jit(
+            # factor ONCE at the compute-time theta (the dense solver's
+            # Cholesky discipline); solves/sampling reuse the factors.
+            # Every internal _solve/_sqrt_batch call site passes
+            # th == self._theta, so the theta argument is vestigial here.
+            Ls, Cs, ld = jax.jit(
                 lambda th: banded_cholesky(
                     *band_blocks(ev(th), offsets, diag, bsz)
-                )[2]
+                )
             )(theta)
             if not bool(jnp.isfinite(ld)):
                 raise np.linalg.LinAlgError(
                     "banded Cholesky log-determinant is not finite"
                 )
+            self._band_factors = (Ls, Cs)
+            bsolve = jax.jit(banded_solve)
+            bsqrt = jax.jit(banded_sqrt_matvec)
+
+            def dsolve(th, B):
+                Lf, Cf = self._band_factors
+                return bsolve(Lf, Cf, B), jnp.zeros((), jnp.int32)
+
+            self._solve = dsolve
+
+            def dsqrt(th, B, m):
+                # exact triangular transport W with K + diag = W W^T;
+                # the Lanczos step count m is irrelevant here
+                Lf, Cf = self._band_factors
+                return bsqrt(Lf, Cf, B.T).T
+
+            self._sqrt_batch = dsqrt
         else:
             def logdet_fn(th, key):
                 vals = ell_values(pair, th, self._x, nbr, mask)
@@ -887,7 +892,7 @@ class SparseSolver(object):
     def __getstate__(self):
         state = self.__dict__.copy()
         for k in ("_mv", "_solve", "_sqrt_batch", "_direct_loglike",
-                  "_direct_grad", "_x", "_nbr", "_mask",
+                  "_direct_grad", "_band_factors", "_x", "_nbr", "_mask",
                   "_diag", "_pdiag", "_theta"):
             state.pop(k, None)
         state["computed"] = False
