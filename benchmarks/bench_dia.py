@@ -12,10 +12,16 @@ serving tunnel.
 Usage::
 
     python benchmarks/bench_dia.py [--n 200000] [--reps 30]
+
+``GEORGE_TPU_BENCH_CPU=1`` forces the CPU backend in float64 (for smoke
+runs — the environment pins ``JAX_PLATFORMS=axon``, which env vars
+cannot override; only an in-process config update before first device
+use can).
 """
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -40,6 +46,9 @@ def main():
 
     import jax
 
+    if os.environ.get("GEORGE_TPU_BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 

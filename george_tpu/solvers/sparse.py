@@ -346,6 +346,12 @@ class SparseSolver(object):
         (the reference uses ``nvec = 10``, ``gp.py:448``).
     :param num_steps: SLQ Lanczos steps.
     :param seed: probe RNG seed.
+    :param direct: ``"auto"`` (default) factors banded single-device
+        structures (sorted 1-D compact support) EXACTLY by a
+        block-tridiagonal Cholesky (``solvers/banded.py``) — exact
+        logdet, solves, gradients, triangular ``apply_sqrt``;
+        ``False`` always uses the iterative CG + SLQ machinery;
+        ``True`` requires the direct path and raises if infeasible.
     """
 
     matrix_free = True
@@ -358,8 +364,10 @@ class SparseSolver(object):
         # banded DIRECT factorization (solvers/banded.py): exact logdet/
         # solves/gradients for sorted-1-D compact support — the TPU-native
         # analogue of the reference's SuperLU_DIST sparse-direct backend.
-        # "auto" = use it whenever the structure is banded and feasible;
-        # False = always iterate (CG + SLQ); True = require it.
+        if direct not in ("auto", True, False):
+            raise ValueError(
+                "direct must be 'auto', True, or False, got %r" % (direct,)
+            )
         self.direct = direct
         self.cg_tol = float(cg_tol)
         self.maxiter = int(maxiter)
@@ -555,11 +563,19 @@ class SparseSolver(object):
             )
             use_direct = bsz is not None
         if self.direct is True and not use_direct:
-            raise ValueError(
-                "direct=True, but the structure is not banded (or the "
-                "band is infeasibly wide) — the direct factorization "
-                "needs sorted-1-D compact support on a single device"
-            )
+            if self.mesh is not None:
+                reason = (
+                    "the direct factorization is single-device only; "
+                    "drop mesh= or use direct=False"
+                )
+            elif offsets is None:
+                reason = (
+                    "the structure is not banded — it needs sorted "
+                    "1-D compact-support data"
+                )
+            else:
+                reason = "the band is infeasibly wide for this n"
+            raise ValueError("direct=True, but " + reason)
 
         if use_direct:
             from .banded import (
@@ -783,11 +799,18 @@ class SparseSolver(object):
         return self.apply_inverse(np.eye(n))
 
     def apply_sqrt(self, r, num_steps=None):
-        """Rows of ``r`` transported by the symmetric square root
-        ``(K + diag)^{1/2}`` via Lanczos ``f(A) b`` — prior-sampling
-        support the reference's sparse backend lacks (its ``apply_sqrt``
-        is dense-only, ``basic.py:284-302`` there). Spectrally accurate
-        in ``num_steps`` Lanczos iterations (default: the solver's
+        """Rows of ``r`` transported by a square root of ``K + diag``
+        (the ``R = apply_sqrt(I)``, ``R^T R = K + diag`` contract of the
+        dense solver) — prior-sampling support the reference's sparse
+        backend lacks (its ``apply_sqrt`` is dense-only,
+        ``basic.py:284-302`` there).
+
+        On the banded direct path this is the EXACT triangular Cholesky
+        factor ``W`` (``K + diag = W W^T``; ``num_steps`` is ignored,
+        and ``apply_sqrt`` applied twice is NOT ``(K + diag) r`` — the
+        factor is triangular, not symmetric). Otherwise it is the
+        symmetric square root via Lanczos ``f(A) b``, spectrally
+        accurate in ``num_steps`` iterations (default: the solver's
         ``num_steps``, floored at 30)."""
         m = int(num_steps) if num_steps is not None else max(
             self.num_steps, 30

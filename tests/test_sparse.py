@@ -57,7 +57,8 @@ def test_sparse_slq_logdet():
     x, y, yerr, kernel = _sparse_problem()
     K = _dense(kernel, x, yerr)
     _, ld_true = np.linalg.slogdet(K)
-    s = SparseSolver(kernel, num_probes=32, num_steps=40)
+    s = SparseSolver(kernel, num_probes=32, num_steps=40,
+                     direct=False)  # pin SLQ: this test guards the estimator
     s.compute(x, yerr)
     assert abs(s.log_determinant - ld_true) / abs(ld_true) < 0.03
 
@@ -66,7 +67,8 @@ def test_sparse_gp_likelihood_and_gradient():
     """GP on the sparse path tracks the exact path within estimator noise
     (reference Regime B is stochastic by design, ``gp.py:506-562``)."""
     x, y, yerr, kernel = _sparse_problem()
-    gp_s = GP(kernel, solver=SparseSolver, num_probes=64, num_steps=40)
+    gp_s = GP(kernel, solver=SparseSolver, num_probes=64, num_steps=40,
+              direct=False)  # pin Hutchinson gradients
     gp_s.compute(x, yerr)
     x2, y2, yerr2, kernel2 = _sparse_problem()
     gp_d = GP(kernel2, solver=BasicSolver)
@@ -212,7 +214,7 @@ def test_sparse_solver_banded_equals_reference_solve():
     k = 1.0 * kernels.WendlandC2Kernel(
         log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.5)
     )
-    solver = SparseSolver(k)
+    solver = SparseSolver(k, direct=False)  # pin the DIA CG path
     solver.compute(x, 0.5)
     assert solver._dia_offsets is not None
     z = solver.apply_inverse(y)
@@ -238,7 +240,8 @@ def test_sparse_fused_loglike_and_grad():
             log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.5)
         )
 
-    gp = GP(kern(), solver=SparseSolver, num_probes=128, num_steps=40)
+    gp = GP(kern(), solver=SparseSolver, num_probes=128, num_steps=40,
+            direct=False)  # pin the CG+SLQ fused program
     gp.compute(x, 0.3)
     ll_host = gp.log_likelihood(y)
 
@@ -292,7 +295,8 @@ def test_sparse_fused_pdiag_boundary_rows():
     k = 1.0 * kernels.WendlandC2Kernel(
         log_rc=np.log(2.0), kernel_base=kernels.ExpSquaredKernel(0.5)
     )
-    gp = GP(k, solver=SparseSolver, num_probes=64, num_steps=30)
+    gp = GP(k, solver=SparseSolver, num_probes=64, num_steps=30,
+            direct=False)  # pin the boundary-row pdiag regression path
     gp.compute(x, 0.4)
     assert gp.solver._dia_offsets is not None
     f = gp.log_prob_fn(x, y, 0.4, gate_prior=False)
