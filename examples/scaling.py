@@ -45,16 +45,28 @@ def main():
         ))
         assert abs(ll_b - ll_h) / abs(ll_b) < 1e-4
 
-    # compact support: Wendland-tapered kernel + iterative sparse solver
+    # compact support: Wendland-tapered kernel + sparse solver. Sorted
+    # 1-D data is banded, so this factors EXACTLY (block-tridiagonal
+    # Cholesky, solvers/banded.py) — the sparse-direct semantics of the
+    # reference's SuperLU backend, no CG/SLQ noise.
     tapered = kernels.WendlandC2Kernel(
         log_rc=np.log(8.0),
         kernel_base=1.0 * kernels.ExpSquaredKernel(4.0),
     )
     gp_s = GP(tapered, solver=SparseSolver)
     gp_s.compute(x, yerr)
-    print("sparse  log-likelihood: {0:.4f}  (nnz fraction {1:.3f})".format(
-        gp_s.log_likelihood(y), gp_s.solver.nnz / n ** 2
-    ))
+    ll_s = gp_s.log_likelihood(y)
+    print("sparse  log-likelihood: {0:.4f}  (nnz fraction {1:.3f}, "
+          "direct={2})".format(
+              ll_s, gp_s.solver.nnz / n ** 2,
+              gp_s.solver._direct_loglike is not None,
+          ))
+    if gp_s.solver._direct_loglike is not None and n <= 3000:
+        # the direct path is exact: cross-check against a dense solve of
+        # the SAME tapered covariance
+        gp_sd = GP(tapered)
+        gp_sd.compute(x, yerr)
+        assert abs(ll_s - gp_sd.log_likelihood(y)) < 1e-6 * abs(ll_s)
 
     # gradient through the hierarchical path (one autodiff sweep)
     g = gp_h.grad_log_likelihood(y)
