@@ -1202,6 +1202,61 @@ class HODLRSolver(object):
             self._sym_theta = np.asarray(theta)
         self.log_determinant = float(logdet)
         self.computed = True
+        self._factorization_self_check()
+
+    # configs already residual-checked this process: the check costs two
+    # program traces (solve + compressed matvec), too much to pay on
+    # every recompute of an optimizer loop, and its target failure mode
+    # (an unsuitable kernel FAMILY) is a per-configuration property
+    _checked_configs = set()
+
+    def _factorization_self_check(self):
+        """One-probe residual check ``|K̄ (K̄^{-1} v) - v| / |v|`` against
+        the COMPRESSED operator (so skeleton truncation does not enter —
+        only factorization instability does). Runs once per (kernel
+        structure, n, min_size, rank) per process.
+
+        The weak-admissibility SMW cascade is numerically unstable for
+        NON-DECAYING kernels (Linear/Polynomial/DotProduct-dominated
+        covariances): the off-diagonal coupling rivals the block
+        diagonal and the 2c x 2c SMW cores become singular to working
+        precision (measured: cond ~8e18 on a PolynomialKernel where the
+        compressed K̄ itself is exact to 6e-9). The reference's
+        identical cascade (``hodlr.h:707-711``) fails the same way and
+        stays silent; here the failure is detected and reported."""
+        self.factor_residual = None  # not measured on memoized recomputes
+        key = (
+            tuple(self.kernel.get_parameter_names()),
+            type(self.kernel).__name__,
+            len(self._perm), self.min_size, self.rank,
+            str(np.asarray(self._xpad).dtype),
+        )
+        if key in HODLRSolver._checked_configs:
+            return
+        HODLRSolver._checked_configs.add(key)
+        rng = np.random.default_rng(self.seed + 7)
+        v = rng.standard_normal(len(self._perm))
+        z = self.apply_inverse(v)
+        r = float(
+            np.linalg.norm(np.asarray(self.apply_forward(z)) - v)
+            / np.linalg.norm(v)
+        )
+        self.factor_residual = r
+        tol = 1e-6 if np.asarray(self._xpad).dtype == np.float64 else 1e-2
+        if r > tol:
+            import warnings
+
+            warnings.warn(
+                "HODLR factorization self-check failed: relative solve "
+                "residual %.2e against the compressed operator. The "
+                "weak-admissibility SMW cascade is numerically unstable "
+                "for non-decaying kernels (Linear/Polynomial/DotProduct"
+                "-dominated covariances) — log-likelihoods and solves "
+                "from this factorization are unreliable; use BasicSolver "
+                "(or, for compact-support kernels, SparseSolver) "
+                "instead." % r,
+                stacklevel=3,
+            )
 
     # -- pure fused surface -------------------------------------------------
 

@@ -450,3 +450,66 @@ def test_hodlr_accepts_foreign_nns_forms():
         gp = GP(k, solver=HODLRSolver, min_size=32)
         gp.compute(x, 0.1, nns=nns)
         np.testing.assert_allclose(gp.log_likelihood(y), ll0, rtol=1e-8)
+
+
+def test_hodlr_kernel_zoo_oracle():
+    """HODLR vs dense across the wider kernel zoo (beyond the ExpSq/
+    Matern families the other tests use). Decaying/periodic/local
+    kernels must agree to oracle accuracy."""
+    rng = np.random.default_rng(0)
+    n = 240
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    zoo = [
+        1.0 * kernels.RationalQuadraticKernel(log_alpha=0.3, metric=1.2),
+        1.0 * kernels.ExpKernel(1.0),
+        0.7 * kernels.CosineKernel(log_period=0.5),
+        1.0 * kernels.LocalGaussianKernel(location=5.0, log_width=0.5),
+        0.5 * kernels.DotProductKernel(),
+        kernels.ConstantKernel(log_constant=-1.0)
+        + kernels.ExpSquaredKernel(1.0),
+    ]
+    for k in zoo:
+        gpb = GP(k)
+        gpb.compute(x, 0.25)
+        gph = GP(k, solver=HODLRSolver, min_size=32, rank=24)
+        gph.compute(x, 0.25)
+        rel = abs(gph.log_likelihood(y) - gpb.log_likelihood(y)) / max(
+            abs(gpb.log_likelihood(y)), 1.0
+        )
+        assert rel < 1e-6, (type(k).__name__, rel)
+
+
+def test_hodlr_self_check_warns_on_nondecaying_kernel():
+    """The weak-admissibility SMW cascade is numerically unstable for
+    non-decaying kernels (the SMW cores become singular to working
+    precision; the reference's identical cascade fails silently,
+    ``hodlr.h:707-711``). The factorization self-check must warn."""
+    import warnings
+
+    rng = np.random.default_rng(0)
+    n = 240
+    x = np.sort(rng.uniform(0, 10, n))
+    k = 0.2 * kernels.PolynomialKernel(log_sigma2=0.0, order=3)
+    HODLRSolver._checked_configs.clear()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gp = GP(k, solver=HODLRSolver, min_size=32, rank=24)
+        gp.compute(x, 0.25)
+    assert any("self-check" in str(w.message) for w in caught)
+    assert gp.solver.factor_residual > 1e-6
+
+    # healthy kernels pass silently
+    HODLRSolver._checked_configs.clear()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gp2 = GP(1.2 * kernels.ExpSquaredKernel(2.0),
+                 solver=HODLRSolver, min_size=32, rank=24)
+        gp2.compute(x, 0.25)
+    assert not any("self-check" in str(w.message) for w in caught)
+    assert gp2.solver.factor_residual < 1e-8
+
+    # the check is memoized per configuration: a recompute of the same
+    # structure does not re-measure
+    gp2.compute(x, 0.25)
+    assert gp2.solver.factor_residual is None
