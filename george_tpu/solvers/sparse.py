@@ -489,8 +489,9 @@ class SparseSolver(object):
         # table is hoisted out of the iteration, and banded structures
         # apply by shifted slices instead of gathers. On TPU the banded
         # application can route through the Pallas kernel (ops/dia.py):
-        # the whole RHS block stays VMEM-resident, so HBM traffic drops
-        # to the bandwidth floor. Opt-in until measured on-chip.
+        # per row block, the overlapping RHS window is DMA'd into VMEM
+        # once, so HBM traffic drops to the bandwidth floor. Opt-in
+        # until measured on-chip.
         offsets = self._dia_offsets
         import os
 
@@ -507,12 +508,14 @@ class SparseSolver(object):
 
         def apply_fixed(vals, Y):
             if use_pallas:
-                # the kernel keeps the padded RHS + output in VMEM;
-                # shapes are trace-time constants, so gate here and fall
-                # through to the XLA form for oversized RHS blocks
+                # the kernel's VMEM scratch is one (block + band, r)
+                # RHS window, lane-padded to 128; shapes are trace-time
+                # constants, so gate here and fall through to the XLA
+                # form for oversized windows (huge bands / wide RHS)
                 r = 1 if Y.ndim == 1 else Y.shape[1]
-                rhs_bytes = 2 * (Y.shape[0] + band) * r * Y.dtype.itemsize
-                if rhs_bytes <= DIA_VMEM_BUDGET:
+                r_pad = -(-r // 128) * 128
+                scratch = (1024 + band) * r_pad * Y.dtype.itemsize
+                if scratch <= DIA_VMEM_BUDGET:
                     return dia_matvec_pallas(vals, off_tuple, diag, Y)
             if offsets is not None:
                 return dia_apply(vals, offsets, diag, Y)

@@ -32,6 +32,14 @@ def test_two_process_distributed_nuts():
     # 2-device view (drop any inherited virtual-mesh flag)
     env.pop("XLA_FLAGS", None)
     env["JAX_NUM_CPU_DEVICES"] = "1"
+    # the worker is spawned bare (no pytest/conftest), so put the repo
+    # root on its path; APPEND to any existing PYTHONPATH — on the TPU
+    # host the accelerator plugin registers via a sitecustomize that
+    # lives on PYTHONPATH, and clobbering it kills every JAX child
+    repo_root = os.path.dirname(HERE)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
 
     procs = [
         subprocess.Popen(
