@@ -1214,7 +1214,12 @@ class HODLRSolver(object):
         """One-probe residual check ``|K̄ (K̄^{-1} v) - v| / |v|`` against
         the COMPRESSED operator (so skeleton truncation does not enter —
         only factorization instability does). Runs once per (kernel
-        structure, n, min_size, rank) per process.
+        structure, n, min_size, rank) per process — unless ``debug=1``,
+        which runs it unconditionally on every compute and additionally
+        reports the compression error against the EXACT kernel (the
+        reference's two debug prints, ``_hodlr.cpp:143-161``:
+        ``|K - K_bar I|/|K|`` and ``|K_bar^{-1} K_bar I - I|``; here both
+        are probe-based so debug stays usable beyond toy N).
 
         The weak-admissibility SMW cascade is numerically unstable for
         NON-DECAYING kernels (Linear/Polynomial/DotProduct-dominated
@@ -1225,13 +1230,14 @@ class HODLRSolver(object):
         identical cascade (``hodlr.h:707-711``) fails the same way and
         stays silent; here the failure is detected and reported."""
         self.factor_residual = None  # not measured on memoized recomputes
+        self.compression_error = None  # measured only under debug=1
         key = (
             tuple(self.kernel.get_parameter_names()),
             type(self.kernel).__name__,
             len(self._perm), self.min_size, self.rank,
             str(np.asarray(self._xpad).dtype),
         )
-        if key in HODLRSolver._checked_configs:
+        if key in HODLRSolver._checked_configs and not self.debug:
             return
         HODLRSolver._checked_configs.add(key)
         rng = np.random.default_rng(self.seed + 7)
@@ -1242,6 +1248,21 @@ class HODLRSolver(object):
             / np.linalg.norm(v)
         )
         self.factor_residual = r
+        if self.debug:
+            # the reference's first debug print: compression error of the
+            # hierarchical representation vs the exact kernel
+            # (``_hodlr.cpp:143-155``), probe-based instead of K_bar @ I
+            zb = np.asarray(self.apply_forward(v))
+            ze = self._exact_matvec(v)
+            self.compression_error = float(
+                np.linalg.norm(zb - ze) / np.linalg.norm(ze)
+            )
+            if self.verbose:
+                print(
+                    "HODLR debug: compression rel err %.3e; "
+                    "factorization residual %.3e"
+                    % (self.compression_error, self.factor_residual)
+                )
         tol = 1e-6 if np.asarray(self._xpad).dtype == np.float64 else 1e-2
         if r > tol:
             import warnings
@@ -1257,6 +1278,22 @@ class HODLRSolver(object):
                 "instead." % r,
                 stacklevel=3,
             )
+
+    def _exact_matvec(self, v, chunk=4096):
+        """Exact ``(K + diag) v`` by chunked dense row blocks (original
+        point order) — O(n^2) flops but O(n * chunk) memory, so the
+        debug compression check stays usable at large n."""
+        x = self._x
+        n = len(x)
+        d_sorted = np.asarray(self._diag_pad)[:n]
+        d = np.empty(n)
+        d[self._perm] = d_sorted
+        v = np.asarray(v, dtype=np.float64)
+        out = np.empty(n)
+        for i in range(0, n, chunk):
+            rows = self.kernel.get_value(x[i:i + chunk], x)
+            out[i:i + chunk] = np.asarray(rows, dtype=np.float64) @ v
+        return out + d * v
 
     # -- pure fused surface -------------------------------------------------
 

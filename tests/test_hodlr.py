@@ -513,3 +513,36 @@ def test_hodlr_self_check_warns_on_nondecaying_kernel():
     # structure does not re-measure
     gp2.compute(x, 0.25)
     assert gp2.solver.factor_residual is None
+
+
+def test_hodlr_debug_flag_reports_errors(capsys):
+    """``debug=1`` mirrors the reference's debug mode
+    (``_hodlr.cpp:143-161``): it measures the compression error against
+    the EXACT kernel and the factorization residual on every compute
+    (bypassing the once-per-config memo), printing both when verbose."""
+    x, y, yerr = _data(500)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    s = HODLRSolver(kernel, min_size=64, rank=32, debug=True, verbose=True)
+    s.compute(x, yerr)
+    assert s.factor_residual is not None and s.factor_residual < 1e-8
+    assert s.compression_error is not None and s.compression_error < 1e-6
+    out = capsys.readouterr().out
+    assert "compression rel err" in out and "factorization residual" in out
+
+    # debug bypasses the memo: a recompute re-measures both
+    s.compute(x, yerr)
+    assert s.factor_residual is not None
+    assert s.compression_error is not None
+
+    # the compression error is a real exact-vs-compressed comparison: at
+    # a rank too low for the data it must report a visibly larger error
+    s_low = HODLRSolver(kernel, min_size=64, rank=2, debug=True)
+    s_low.compute(x, yerr)
+    assert s_low.compression_error > 10 * s.compression_error
+
+    # without debug, a memoized recompute stays cheap (no measurement)
+    s2 = HODLRSolver(kernel, min_size=64, rank=32)
+    s2.compute(x, yerr)
+    s2.compute(x, yerr)
+    assert s2.factor_residual is None
+    assert s2.compression_error is None
