@@ -508,14 +508,15 @@ class SparseSolver(object):
 
         def apply_fixed(vals, Y):
             if use_pallas:
-                # the kernel's VMEM scratch is one (block + band, r)
-                # RHS window, lane-padded to 128; shapes are trace-time
-                # constants, so gate here and fall through to the XLA
-                # form for oversized windows (huge bands / wide RHS)
-                r = 1 if Y.ndim == 1 else Y.shape[1]
-                r_pad = -(-r // 128) * 128
-                scratch = (1024 + band) * r_pad * Y.dtype.itemsize
-                if scratch <= DIA_VMEM_BUDGET:
+                # per-block VMEM: the (D, block) value-table tile + the
+                # lane-folded (block + band) RHS window; shapes are
+                # trace-time constants, so gate here and fall through to
+                # the XLA form for enormous bands
+                D = vals.shape[1]
+                per_block = (D * 1024 + (1024 + band + 256)) * (
+                    Y.dtype.itemsize
+                )
+                if per_block <= DIA_VMEM_BUDGET:
                     return dia_matvec_pallas(vals, off_tuple, diag, Y)
             if offsets is not None:
                 return dia_apply(vals, offsets, diag, Y)
