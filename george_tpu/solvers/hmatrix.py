@@ -475,14 +475,18 @@ class HMatrixSolver(object):
         if yerr2.size == 1:
             yerr2 = yerr2 * np.ones(n)
 
+        # geometry coordinates exclude any label column (LCM task id) —
+        # see ``LCMKernel.sort_axes`` and the same logic in HODLRSolver
+        sa = getattr(self.kernel, "sort_axes", None)
+        x_geom = x if sa is None else x[:, list(sa)]
         self._perm = (
-            morton_sort_samples(x) if self.sort
+            morton_sort_samples(x_geom) if self.sort
             else np.arange(n, dtype=np.int64)
         )
         xs = x[self._perm]
         hs = HMatrixStructure(
-            n, xs, min_size=self.min_size, rank=self.rank, eta=self.eta,
-            seed=self.seed,
+            n, x_geom[self._perm], min_size=self.min_size, rank=self.rank,
+            eta=self.eta, seed=self.seed,
         )
         self._hs = hs
 

@@ -1065,11 +1065,19 @@ class HODLRSolver(object):
         if yerr2.size == 1:
             yerr2 = yerr2 * np.ones(n)
 
+        # geometry coordinates: kernels with a non-geometric label column
+        # (the LCM task id) declare their spatial axes via ``sort_axes``;
+        # ordering/partitioning on the label would make coarse
+        # off-diagonal blocks full-domain cross-task matrices (not
+        # low-rank) — see ``LCMKernel.sort_axes``
+        sa = getattr(self.kernel, "sort_axes", None)
+        x_geom = x if sa is None else x[:, list(sa)]
         self._perm = (
-            morton_sort_samples(x) if self.sort
+            morton_sort_samples(x_geom) if self.sort
             else np.arange(n, dtype=np.int64)
         )
         xs = x[self._perm]
+        xs_geom = x_geom[self._perm]
         # the skeleton-guidance path only understands a rectangular kNN
         # matrix (the reference's precomputed-neighbor format,
         # ``_hodlr.cpp:121-128``); CSR tuples / ragged listings / bare
@@ -1096,7 +1104,7 @@ class HODLRSolver(object):
             nns_sorted = mapped[self._perm]
         self._struct = build_structure(
             n, min_size=self.min_size, rank=self.rank, seed=self.seed,
-            x_sorted=xs, nns=nns_sorted, ridge_floor=self.tol_abs,
+            x_sorted=xs_geom, nns=nns_sorted, ridge_floor=self.tol_abs,
         )
         st = self._struct
         if self.pivots == "aca" and nns_sorted is None and st.L > 0:

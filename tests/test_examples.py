@@ -27,7 +27,8 @@ def test_scaling_example():
 def test_multioutput_example():
     argv = sys.argv
     try:
-        sys.argv = ["multioutput.py"]
+        # the at-scale section defaults to n=10,000; keep the suite fast
+        sys.argv = ["multioutput.py", "3000"]
         runpy.run_path("examples/multioutput.py", run_name="__main__")
     finally:
         sys.argv = argv
