@@ -6,6 +6,21 @@ call stacks SURVEY.md §3.2-3.3).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+Usage::
+
+    python bench.py [n] [variant]
+
+``variant``:
+
+* ``smooth`` (default) — ExpSquared + Matern32, the headline workload;
+* ``qp`` — the genuinely quasi-periodic BASELINE config #3 kernel
+  (ExpSquared x ExpSine2, period 3.7), a harder compression target that
+  needs the kernel-adaptive ACA skeletons at a higher rank.
+
+Every (n, variant) with a recorded CPU-f64 truth value enforces an
+accuracy anchor before timing — a fast-but-wrong configuration fails
+instead of reporting.
+
 ``vs_baseline`` is measured against the driver-set north-star target
 (N=1e6 HODLR log-lik+grad < 1 s/eval, BASELINE.md), scaled to the
 benchmarked N by the O(N log^2 N) cost model the reference documents for
@@ -44,6 +59,51 @@ def target_seconds(n):
     return 1.0 * cost(n) / cost(1e6)
 
 
+# CPU-f64 truth anchors per (variant, n): value, relative tolerance.
+# Values from rank-96 (1e5) / rank-64 (1e6) float64 HODLR factorizations
+# of the exact seeded datasets below (skeleton-truncation cross-checks:
+# qp 1e5 |rank64 - rank96| = 3.3e-7 relative; smooth 1e6
+# |rank48 - rank64| = 3.5e-9). Tolerances sit ~2x above the measured
+# on-chip f32 floor — tight enough that the round-1 bf16 matmul bug
+# (9e-2) or any precision regression fails loudly.
+_TRUTH = {
+    ("smooth", 100_000): (-23484.7706, 2e-3),
+    ("qp", 100_000): (-6669.998996, 5e-3),
+    ("smooth", 1_000_000): (-217929.3465, 5e-3),
+}
+
+
+def _dataset(variant, n, dtype):
+    """Seeded benchmark datasets; MUST stay bit-compatible with the truth
+    anchors above (same rng stream, same kernel constructors)."""
+    from george_tpu import kernels
+
+    rng = np.random.default_rng(42)
+    x = np.sort(rng.uniform(0, 1000.0, n))[:, None]
+    if variant == "smooth":
+        # smooth decaying 1-D workload (the headline metric): ExpSquared
+        # + Matern32 — easy rank-12 compression, our throughput target
+        y = np.sin(0.1 * x[:, 0]) + 0.3 * rng.standard_normal(n)
+        yerr2 = 0.09 * np.ones(n)
+        kernel = 1.2 * kernels.ExpSquaredKernel(25.0) + 0.3 * (
+            kernels.Matern32Kernel(8.0)
+        )
+        rank = 12
+    else:
+        # the genuinely quasi-periodic BASELINE config #3 kernel: an
+        # oscillatory covariance whose off-diagonal blocks have
+        # intrinsic rank ~35 — the workload the kernel-adaptive ACA
+        # pivots exist for (geometric FPS pivots fail at any rank here)
+        y = (np.sin(2 * np.pi * x[:, 0] / 3.7) * np.cos(0.13 * x[:, 0])
+             + 0.25 * rng.standard_normal(n))
+        yerr2 = 0.0625 * np.ones(n)
+        kernel = 1.0 * kernels.ExpSquaredKernel(20.0) * (
+            kernels.ExpSine2Kernel(gamma=1.0, log_period=np.log(3.7))
+        )
+        rank = 48
+    return kernel, x, y, yerr2, rank
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -61,33 +121,28 @@ def main():
     else:
         # headline N on an accelerator; a tractable size on CPU-only hosts
         n = 100_000 if jax.default_backend() != "cpu" else 20_000
+    variant = sys.argv[2] if len(sys.argv) > 2 else "smooth"
+    if variant not in ("smooth", "qp"):
+        raise SystemExit("variant must be 'smooth' or 'qp'")
 
-    from george_tpu import kernels
     from george_tpu.solvers.hodlr import (
         build_structure, select_aca_pivots, hodlr_factor, hodlr_solve,
         hodlr_loglike_and_grad_hutchinson,
     )
 
-    # Quasi-periodic 1-D dataset (the reference's flagship HODLR workload,
-    # docs/tutorials/scaling.rst and BASELINE config #3).
-    rng = np.random.default_rng(42)
-    x = np.sort(rng.uniform(0, 1000.0, n))[:, None]
-    y = np.sin(0.1 * x[:, 0]) + 0.3 * rng.standard_normal(n)
-    yerr2 = 0.09 * np.ones(n)
-
-    kernel = 1.2 * kernels.ExpSquaredKernel(25.0) + 0.3 * (
-        kernels.Matern32Kernel(8.0)
-    )
     on_tpu = jax.devices()[0].platform != "cpu"
     use_f64 = (not on_tpu) and jax.config.jax_enable_x64
     dtype = np.float64 if use_f64 else np.float32
+    kernel, x, y, yerr2, rank = _dataset(variant, n, dtype)
 
-    # min_size=128/rank=12 with ACA skeletons won the round-2 config sweep:
-    # 3e-8 relative log-likelihood / 1.2e-5 gradient error vs a rank-64 f64
-    # reference on this workload (the kernel-adaptive pivots buy back the
-    # accuracy the lower rank gives up), at 19.6 evals/s on one v5e.
+    # min_size=128/rank=12 with ACA skeletons won the round-2 config sweep
+    # for the smooth variant: 3e-8 relative log-likelihood / 1.2e-5
+    # gradient error vs a rank-64 f64 reference (the kernel-adaptive
+    # pivots buy back the accuracy the lower rank gives up). The
+    # quasi-periodic variant needs rank 48 (intrinsic block rank ~35).
     min_size = 128
-    st = build_structure(n, min_size=min_size, rank=12, seed=42, x_sorted=x)
+    st = build_structure(n, min_size=min_size, rank=rank, seed=42,
+                         x_sorted=x)
     # kernel-adaptive skeletons (same default as HODLRSolver): tighter
     # compression per rank than geometric FPS pivots, selected once here
     # and reused across every theta evaluation below
@@ -151,17 +206,18 @@ def main():
     ll0, _ = vag(theta)
     if not np.isfinite(float(ll0)):
         raise RuntimeError("non-finite log-likelihood in benchmark")
-    if n == 100_000:
-        # Accuracy anchor: CPU f64 rank-64 truth for this exact dataset.
-        # Guards against a fast-but-wrong kernel or precision regression
-        # ever producing the headline number (f32 floor is ~9e-4; the
-        # bf16-matmul bug this catches was 9e-2).
-        truth = -23484.7706
+    anchor = _TRUTH.get((variant, n))
+    if anchor is not None:
+        # Accuracy anchor: CPU f64 truth for this exact dataset. Guards
+        # against a fast-but-wrong kernel or precision regression ever
+        # producing the headline number (measured f32 floor ~9e-4; the
+        # round-1 bf16-matmul bug this catches was 9e-2).
+        truth, tol = anchor
         rel = abs(float(ll0) - truth) / abs(truth)
-        if rel > 5e-3:
+        if rel > tol:
             raise RuntimeError(
-                "benchmark log-likelihood off truth by %.2e (ll=%.3f, "
-                "truth=%.3f)" % (rel, float(ll0), truth)
+                "benchmark log-likelihood off truth by %.2e > %.0e "
+                "(ll=%.3f, truth=%.3f)" % (rel, tol, float(ll0), truth)
             )
 
     # 16 queued evaluations: samplers/optimizers pipeline far more steps
@@ -170,10 +226,12 @@ def main():
     best = _throughput(vag, thetas)
     evals_per_sec = 1.0 / best
 
+    suffix = "" if variant == "smooth" else "_" + variant
     print(
         json.dumps(
             {
-                "metric": "hodlr_loglik_grad_evals_per_sec_n%d" % n,
+                "metric": "hodlr_loglik_grad_evals_per_sec%s_n%d"
+                          % (suffix, n),
                 "value": round(evals_per_sec, 3),
                 "unit": "evals/s",
                 "vs_baseline": round(target_seconds(n) / best, 3),

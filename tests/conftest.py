@@ -62,6 +62,7 @@ _SLOW_TESTS = {
     # misbehave, regardless of its healthy 11s runtime
     "test_two_process_distributed_nuts",
     "test_hodlr_lcm_multitask_oracle",
+    "test_samplers_match_quadrature_truth",
     "test_hmatrix_lcm_multitask_oracle",
 }
 

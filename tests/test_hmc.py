@@ -201,3 +201,73 @@ def test_nuts_step_size_clip_tames_rogue_chain():
     eps = np.asarray(_robust_final_eps(le, 2.0))
     assert np.isclose(eps[1], 0.01, rtol=1e-5)
     assert np.isclose(eps[2], 0.01, rtol=1e-5)
+
+
+def test_samplers_match_quadrature_truth():
+    """External oracle: both sampler engines must match a dense-grid
+    QUADRATURE truth (not merely each other) on a 2-parameter GP
+    hyperparameter posterior — mutual agreement can hide a shared bias.
+    Truth moments come from trapezoid integration of exp(log_prob) on a
+    wide grid; samplers must land within combined MC + quadrature error."""
+    from george_tpu.sampling import EnsembleSampler
+
+    rng = np.random.default_rng(21)
+    x = np.sort(rng.uniform(0, 10, 50))
+    y = np.sin(x) + 0.15 * rng.standard_normal(50)
+    gp = GP(0.5 * kernels.ExpSquaredKernel(1.0))
+    gp.compute(x, 0.15)
+    ndim = len(gp)
+    assert ndim == 2
+    center = jnp.asarray(gp.get_parameter_vector())
+
+    def log_prior(th):
+        return -0.5 * jnp.sum(((th - center) / 1.0) ** 2)
+
+    log_prob = gp.log_prob_fn(x, y, 0.15, gate_prior=False,
+                              log_prior=log_prior)
+
+    # --- quadrature truth on a wide grid (trapezoid; the sd=1 prior is
+    # what pins the amplitude plateau, so the +-6 grid captures the tail)
+    g0 = np.linspace(float(center[0]) - 6.0, float(center[0]) + 6.0, 193)
+    g1 = np.linspace(float(center[1]) - 6.0, float(center[1]) + 6.0, 193)
+    G0, G1 = np.meshgrid(g0, g1, indexing="ij")
+    pts = jnp.asarray(np.stack([G0.ravel(), G1.ravel()], axis=1))
+    lp = np.asarray(jax.jit(jax.vmap(log_prob))(pts)).reshape(G0.shape)
+    w = np.exp(lp - lp.max())
+    Z = np.trapezoid(np.trapezoid(w, g1, axis=1), g0)
+    m0 = np.trapezoid(np.trapezoid(w * G0, g1, axis=1), g0) / Z
+    m1 = np.trapezoid(np.trapezoid(w * G1, g1, axis=1), g0) / Z
+    v0 = np.trapezoid(np.trapezoid(w * (G0 - m0) ** 2, g1, axis=1), g0) / Z
+    v1 = np.trapezoid(np.trapezoid(w * (G1 - m1) ** 2, g1, axis=1), g0) / Z
+    mean_q = np.array([m0, m1])
+    sd_q = np.sqrt([v0, v1])
+    # boundary mass is negligible (grid wide enough)
+    assert w[0].max() < 1e-8 and w[-1].max() < 1e-8
+    assert w[:, 0].max() < 1e-8 and w[:, -1].max() < 1e-8
+
+    # --- NUTS
+    p0 = np.asarray(center)[None, :] + 1e-2 * rng.standard_normal((6, ndim))
+    samples, _ = sample_nuts(
+        jax.random.PRNGKey(2), log_prob, jnp.asarray(p0),
+        num_warmup=300, num_samples=500, max_depth=8,
+    )
+    flat = np.asarray(samples).reshape(-1, ndim)
+    n_eff = flat.shape[0] / 10.0  # conservative ESS guess
+    tol = 4.0 * sd_q / np.sqrt(n_eff)
+    assert np.all(np.abs(flat.mean(0) - mean_q) < tol), (
+        flat.mean(0), mean_q, tol)
+    assert np.allclose(flat.std(0), sd_q, rtol=0.25)
+
+    # --- ensemble
+    nw = 32
+    sampler = EnsembleSampler(nw, ndim, log_prob)
+    sampler.run_mcmc(
+        np.asarray(center)[None, :] + 1e-2 * rng.standard_normal((nw, ndim)),
+        1000, seed=3,
+    )
+    flat_e = sampler.flatchain[nw * 500:]
+    n_eff_e = flat_e.shape[0] / 40.0  # ensemble chains mix slower
+    tol_e = 4.0 * sd_q / np.sqrt(n_eff_e)
+    assert np.all(np.abs(flat_e.mean(0) - mean_q) < tol_e), (
+        flat_e.mean(0), mean_q, tol_e)
+    assert np.allclose(flat_e.std(0), sd_q, rtol=0.25)
