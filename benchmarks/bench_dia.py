@@ -133,22 +133,25 @@ def main():
     out = {"metric": "banded_direct_vs_iterative", "backend": backend,
            "n": n}
     for mode, kw in (("direct", {}), ("iterative", dict(direct=False))):
-        gp = GP(k, solver=SparseSolver, **kw)
-        t0 = time.time()
-        gp.compute(x, 0.1)
-        out["t_compute_%s_s" % mode] = time.time() - t0
-        if mode == "direct" and gp.solver._direct_loglike is None:
-            out["direct_taken"] = False
-            continue
-        lp = gp.log_prob_fn(x, y, yerr=0.1, gate_prior=False)
-        vg = jax.jit(jax.value_and_grad(lp))
-        th = jnp.asarray(gp.get_parameter_vector(), dtype=dtype)
-        v, g = vg(th)
-        float(v)  # compile + host fetch
-        reps = 10 if backend == "tpu" else 2
-        t_eval, _ = _fetch_time(lambda: float(vg(th)[0]), reps)
-        out["t_loglik_grad_%s_ms" % mode] = 1e3 * t_eval
-        out["ll_%s" % mode] = float(v)
+        try:
+            gp = GP(k, solver=SparseSolver, **kw)
+            t0 = time.time()
+            gp.compute(x, 0.1)
+            out["t_compute_%s_s" % mode] = time.time() - t0
+            if mode == "direct" and gp.solver._direct_loglike is None:
+                out["direct_taken"] = False
+                continue
+            lp = gp.log_prob_fn(x, y, yerr=0.1, gate_prior=False)
+            vg = jax.jit(jax.value_and_grad(lp))
+            th = jnp.asarray(gp.get_parameter_vector(), dtype=dtype)
+            v, g = vg(th)
+            float(v)  # compile + host fetch
+            reps = 10 if backend == "tpu" else 2
+            t_eval, _ = _fetch_time(lambda: float(vg(th)[0]), reps)
+            out["t_loglik_grad_%s_ms" % mode] = 1e3 * t_eval
+            out["ll_%s" % mode] = float(v)
+        except Exception as e:  # one mode's failure must not lose the other
+            out["error_%s" % mode] = str(e)[:200]
     if "t_loglik_grad_direct_ms" in out and \
             "t_loglik_grad_iterative_ms" in out:
         out["direct_speedup"] = (

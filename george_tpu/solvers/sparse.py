@@ -488,16 +488,18 @@ class SparseSolver(object):
         # Fixed-theta application for iterative loops: the kernel-entry
         # table is hoisted out of the iteration, and banded structures
         # apply by shifted slices instead of gathers. On TPU the banded
-        # application can route through the Pallas kernel (ops/dia.py):
-        # per row block, the overlapping RHS window is DMA'd into VMEM
-        # once, so HBM traffic drops to the bandwidth floor. Opt-in
-        # until measured on-chip.
+        # application routes through the lane-folded Pallas kernel
+        # (ops/dia.py) by default: per row block, the overlapping RHS
+        # window is DMA'd into VMEM once instead of streaming y once per
+        # diagonal. Measured on a v5e (n=2e5, band 301): 1.27x faster
+        # 64-iteration CG, exact parity. GEORGE_TPU_PALLAS_DIA=0 opts
+        # out.
         offsets = self._dia_offsets
         import os
 
         use_pallas = (
             offsets is not None
-            and os.environ.get("GEORGE_TPU_PALLAS_DIA") == "1"
+            and os.environ.get("GEORGE_TPU_PALLAS_DIA", "1") != "0"
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
@@ -727,13 +729,20 @@ class SparseSolver(object):
             )
             # d logdet / d diag_i = (K^{-1})_{ii}
             bar_diag = g * jnp.mean(V * KinvV, axis=1)
-            # d logdet / d vals[i, j] = (K^{-1})_{nbr[i,j], i}; build
-            # one slot column at a time to bound memory at (n, probes)
-            cols = []
-            for j in range(vals.shape[1]):
-                Kv_j = KinvV[nbr[:, j]]             # (n, probes)
-                cols.append(jnp.mean(V * Kv_j, axis=1))
-            bar_vals = g * jnp.stack(cols, axis=1) * mask
+            # d logdet / d vals[i, j] = (K^{-1})_{nbr[i,j], i}. Accumulate
+            # probe by probe under lax.scan so live memory is bounded at
+            # ~2 value tables BY CONSTRUCTION — a per-slot Python loop
+            # left all w gather columns live simultaneously and cost
+            # 30.9 GB of HBM at n=2e5, band 301 (XLA would not
+            # sequentialize it)
+            def one_probe(acc, vk):
+                vp, kp = vk                          # (n,), (n,)
+                return acc + vp[:, None] * kp[nbr], None
+
+            acc, _ = jax.lax.scan(
+                one_probe, jnp.zeros_like(vals), (V.T, KinvV.T)
+            )
+            bar_vals = g * (acc / num_probes) * mask
             return bar_vals, bar_diag
 
         slq_ld.defvjp(slq_ld_fwd, slq_ld_bwd)
@@ -748,7 +757,12 @@ class SparseSolver(object):
                 jnp.concatenate([r, jnp.zeros(pad, dtype=r.dtype)])
                 if pad else r
             )
-            vals = ell_values(pair, theta_k, x, nbr, mask)
+            # remat the entry table: its elementwise VJP chain otherwise
+            # saves O(10) live (n, w) intermediates across the whole
+            # likelihood graph
+            vals = jax.checkpoint(
+                lambda th: ell_values(pair, th, x, nbr, mask)
+            )(theta_k)
             z = cg_diff_solve(
                 lambda Y: apply_of(vals, diag_pad, Y), r_pad,
                 pdiag_of(vals, diag_pad), tol=eff_tol, maxiter=maxiter,
