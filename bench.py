@@ -299,10 +299,12 @@ def _watchdog():
             "bench: accelerator run failed or timed out; "
             "falling back to a CPU measurement\n"
         )
+        variant = sys.argv[2] if len(sys.argv) > 2 else "smooth"
         code = (
             "import jax; jax.config.update('jax_platforms', 'cpu'); "
-            "import runpy, sys; sys.argv=[%r, '20000']; "
-            "runpy.run_path(%r, run_name='__main__')" % (here, here)
+            "import runpy, sys; sys.argv=[%r, '20000', %r]; "
+            "runpy.run_path(%r, run_name='__main__')"
+            % (here, variant, here)
         )
         line = run([sys.executable, "-c", code], timeout=1800)
         if line is not None:

@@ -559,12 +559,21 @@ class HMatrixSolver(object):
             self.cg_tol, 30.0 * float(np.finfo(self._xpad.dtype).eps)
         )
         use_f64 = self._xpad.dtype == jnp.float64
+        # The symmetric weak-HODLR whitener is a 1-D-only tool: for
+        # d >= 2 the weak off-diagonal remainder makes the square-root
+        # cascade wildly ill-conditioned EVEN IN f64 (measured at
+        # n=1e4 2-D: ||W^{-1} K v||/||v|| between 1e5 and 1e38 across
+        # rank/min_size configs, SLQ logdet bias stuck at +120..+250k
+        # nats). The Nystrom whitener below is stable in any dimension
+        # (same benchmark: logdet error +1.9 nats at nystrom_rank=512
+        # in f32), so it is the default whenever d > 1.
+        use_sym_whitener = use_f64 and x.shape[1] == 1
 
         self._st = None
-        if use_f64:
-            # f64: weak symmetric HODLR cascade K_w = W W^T at
+        if use_sym_whitener:
+            # f64 1-D: weak symmetric HODLR cascade K_w = W W^T at
             # precond_rank -> SPD preconditioner for CG and the
-            # low-variance SLQ logdet sandwich (stable in f64 only)
+            # low-variance SLQ logdet sandwich (stable in f64 1-D only)
             st = build_structure(
                 n, min_size=self.min_size, rank=self.precond_rank,
                 seed=self.seed, x_sorted=xs,
@@ -623,10 +632,12 @@ class HMatrixSolver(object):
             )
             ld = float(ld_weak) + float(ld_corr)
         else:
-            # f32 (TPU): BOTH weak cascades amplify f32 rounding into
-            # large errors on rough vectors (measured ||E v||/||v|| ~ 80
-            # for the nonsym solve and ~2e6 for the symmetric one at
-            # n=5000, vs 3.5e-3 in f64) — unusable as preconditioners.
+            # f32 (TPU) or any d > 1: the weak cascades are unusable as
+            # whiteners here — in f32 both amplify rounding into large
+            # errors on rough vectors (measured ||E v||/||v|| ~ 80
+            # nonsym / ~2e6 symmetric at n=5000, vs 3.5e-3 in f64 1-D),
+            # and in d >= 2 the symmetric one is ill-conditioned even in
+            # f64 (see use_sym_whitener above).
             # Instead: a Nystrom preconditioner from ``nystrom_rank``
             # global FPS pivots. After noise whitening, M~ = I + B B^T
             # with B = D^{-1/2} C L_W^{-T} has an exact SPD inverse AND
