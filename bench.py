@@ -194,11 +194,16 @@ def main():
         # jacfwd matvec pass — the only path whose reverse-sweep memory
         # survives N >= 3e5.
         key = jax.random.PRNGKey(0)
+        # f32 on-chip: one step of iterative refinement on the solves —
+        # at N=1e6 the raw f32 cascade's forward error puts the
+        # log-likelihood 1.1e-2 off truth (quad term +5.2e-3 relative)
+        # while one matvec+resolve step brings it back under the anchor
+        refine = 0 if use_f64 else 1
 
         def vag_fn(th):
             return hodlr_loglike_and_grad_hutchinson(
                 pair, th, xj, vj, dj, rj, st, key,
-                num_probes=8, n_real=n,
+                num_probes=8, n_real=n, refine_steps=refine,
             )
 
         vag = jax.jit(vag_fn)

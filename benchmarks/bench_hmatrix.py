@@ -37,6 +37,12 @@ def main():
 
     import jax
 
+    import os
+
+    if os.environ.get("GEORGE_TPU_BENCH_CPU") == "1":
+        # the environment pins JAX_PLATFORMS=axon; only an in-process
+        # config update before first device use can override it
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

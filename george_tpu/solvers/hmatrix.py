@@ -435,6 +435,14 @@ class HMatrixSolver(object):
     :param cg_tol / maxiter: preconditioned-CG controls.
     :param num_probes / num_steps: SLQ controls for the logdet
         *correction* (spectrum clusters at 1, so few steps suffice).
+    :param grad_deflation_rank: rank of the Hutch++-style deflation
+        basis for the ``grad_log_likelihood`` trace terms. The dominant
+        (smooth) kernel subspace carries most of tr(K^{-1} dK/dth) AND
+        most of the Hutchinson variance; handling it exactly and
+        estimating only the deflated remainder cuts the gradient's MC
+        noise by an order of magnitude at equal matvec cost (measured —
+        see the class notes). 0 disables deflation (the reference's
+        plain Regime-B estimator, ``gp.py:506-562``).
     """
 
     matrix_free = True
@@ -443,7 +451,8 @@ class HMatrixSolver(object):
                  precond_rank=None, nystrom_rank=256, cg_tol=1e-10,
                  maxiter=200, num_probes=16, num_steps=12, seed=42,
                  sort=True, verbose=False, store_near="auto",
-                 store_near_budget=2 << 30, tol_abs=None, **kwargs):
+                 store_near_budget=2 << 30, tol_abs=None,
+                 grad_deflation_rank=64, **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         self.rank = int(rank)
@@ -462,6 +471,7 @@ class HMatrixSolver(object):
         self.store_near = store_near
         self.store_near_budget = int(store_near_budget)
         self.tol_abs = None if tol_abs is None else float(tol_abs)
+        self.grad_deflation_rank = int(grad_deflation_rank)
         self.computed = False
         self.log_determinant = None
 
@@ -570,6 +580,7 @@ class HMatrixSolver(object):
         use_sym_whitener = use_f64 and x.shape[1] == 1
 
         self._st = None
+        self._nystrom = None
         if use_sym_whitener:
             # f64 1-D: weak symmetric HODLR cascade K_w = W W^T at
             # precond_rank -> SPD preconditioner for CG and the
@@ -909,6 +920,44 @@ class HMatrixSolver(object):
 
     # -- matrix-free gradient (reference Regime B, gp.py:506-562) ----------
 
+    def _grad_deflation_basis(self):
+        """Orthonormal ``(n_pad, r)`` basis for Hutch++-style trace
+        deflation, reused across every ``dK/dth_k``.
+
+        The kernel's dominant column space is theta-independent enough
+        across the gradient's per-parameter loop that one fixed basis
+        deflates every ``K^{-1} dK/dth_k``: on the Nystrom path the top
+        eigenvectors of the whitened preconditioner are already sitting
+        in ``self._nystrom``; on the f64 1-D path (symmetric-HODLR
+        whitener, no Nystrom) the basis is a thin QR of kernel columns
+        at global FPS pivots — one extra ``(n, r)`` kernel block."""
+        r = min(self.grad_deflation_rank, self._hs.n_pad - 1)
+        if r <= 0:
+            return None
+        Q2 = getattr(self, "_nystrom", None)
+        if Q2 is not None:
+            Q2, s2 = Q2
+            if r >= Q2.shape[1]:
+                return Q2
+            top = jnp.argsort(s2)[-r:]          # eigh returns ascending
+            return Q2[:, top]
+        piv = _fps_pivots(
+            np.asarray(self._xpad)[None], np.asarray(self._valid)[None],
+            r, np.random.default_rng(self.seed + 3),
+        )[0]
+
+        @pinned_full_precision
+        def _basis():
+            C = _block_matrix(
+                self.kernel.pair_fn, self._theta, self._xpad,
+                self._valid, self._xpad[piv], self._valid[piv],
+                remat=False,
+            )
+            Q, _ = jnp.linalg.qr(C * self._valid[:, None])
+            return Q
+
+        return jax.jit(_basis)()
+
     def grad_log_likelihood(self, gp, x, alpha, unfrozen_mask):
         alpha = np.asarray(alpha, dtype=np.float64)
         theta = self._theta
@@ -922,21 +971,68 @@ class HMatrixSolver(object):
         ).T
         probes = self._pad(probes_np)
         alpha_p = self._pad(alpha)
-        Kinv_u, _ = self._solve(probes)
+
+        # Hutch++-style split as a FITTED control variate. With
+        # P = I - Q Q^T and Y = K^{-1} Q (one extra multi-RHS CG batch),
+        #   deflated: tr(Q^T K^{-1} dK Q)  [exact]
+        #             + E_u[(P u)^T K^{-1} dK (P u)]
+        # is unbiased, and the deflated-probe solves come free from the
+        # same batch (K^{-1} P u = K^{-1} u - Y Q^T u). On 1-D data the
+        # basis kills dK's whole column space and the trace noise
+        # collapses ~0.2 -> ~1e-5 of the gradient scale. But Rademacher
+        # probes get diag(A) for free, and in d >= 2 the projector
+        # smears the diag-dominant near field into off-diagonals — pure
+        # deflation can ADD variance there. So combine per parameter:
+        # D = plain - deflated is zero-mean; the regression CV
+        # ``plain - beta * D`` with fitted beta in [0, 1] interpolates
+        # between the two and tracks whichever is better (beta -> 1
+        # when deflation wins, -> 0 when it would hurt). All samples
+        # come from ONE jvp: dK u = dK(Pu) + (dK Q)(Q^T u).
+        Q = self._grad_deflation_basis()
+        if Q is not None:
+            r = Q.shape[1]
+            sols, _ = self._solve(jnp.concatenate([Q, probes], axis=1))
+            Y, Kinv_u = sols[:, :r], sols[:, r:]
+            QtU = Q.T @ probes
+            probes_d = probes - Q @ QtU          # deflated probes P u
+            Kinv_ud = Kinv_u - Y @ QtU           # K^{-1} P u
+            av = jnp.concatenate(
+                [alpha_p[:, None], Q, probes_d], axis=1
+            )
+        else:
+            Kinv_u, _ = self._solve(probes)
+            av = jnp.concatenate([alpha_p[:, None], probes], axis=1)
 
         grads = np.zeros(nparam)
         for k in range(nparam):
             tangent = jnp.zeros_like(theta).at[k].set(1.0)
-            _, dK_alpha = jax.jvp(
-                lambda th: self._mv_theta(th, alpha_p), (theta,),
+            _, dK_av = jax.jvp(
+                lambda th: self._mv_theta(th, av), (theta,),
                 (tangent,),
             )
-            alpha_term = 0.5 * float(jnp.dot(alpha_p, dK_alpha))
-            _, dK_u = jax.jvp(
-                lambda th: self._mv_theta(th, probes), (theta,),
-                (tangent,),
-            )
-            trace_est = float(jnp.mean(jnp.sum(Kinv_u * dK_u, axis=0)))
+            alpha_term = 0.5 * float(jnp.dot(alpha_p, dK_av[:, 0]))
+            if Q is not None:
+                dKQ, dKud = dK_av[:, 1:1 + r], dK_av[:, 1 + r:]
+                exact = jnp.sum(Y * dKQ)
+                defl_p = jnp.sum(Kinv_ud * dKud, axis=0) + exact
+                plain_p = jnp.sum(
+                    Kinv_u * (dKud + dKQ @ QtU), axis=0
+                )
+                D = plain_p - defl_p             # zero-mean by identity
+                Dc = D - jnp.mean(D)
+                pc = plain_p - jnp.mean(plain_p)
+                beta = jnp.clip(
+                    jnp.vdot(pc, Dc)
+                    / jnp.maximum(jnp.vdot(Dc, Dc), 1e-30),
+                    0.0, 1.0,
+                )
+                trace_est = float(
+                    jnp.mean(plain_p) - beta * jnp.mean(D)
+                )
+            else:
+                trace_est = float(jnp.mean(
+                    jnp.sum(Kinv_u * dK_av[:, 1:], axis=0)
+                ))
             grads[k] = alpha_term - 0.5 * trace_est
 
         mean_g = []

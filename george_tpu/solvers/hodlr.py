@@ -662,6 +662,58 @@ def hodlr_solve(factors, struct, X):
 
 
 @full_precision_matmuls
+def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
+                        factors, X, steps=1):
+    """``hodlr_solve`` plus mixed-precision iterative refinement.
+
+    The f32 forward error of the level-batched inverse cascade grows
+    with N (measured on a v5e at N=1e6, rank 12: +5.2e-3 relative on
+    the quadratic form r^T K^{-1} r while the same factorization in
+    CPU f64 is at 1.4e-9 — and the error grows with rank as trailing
+    skeleton singular values sink under f32 noise). Each refinement
+    step ``z += F^{-1}(x - K z)`` costs one compressed matvec + one
+    factor solve and contracts that error to the matvec's rounding
+    floor; both operators are the SAME compressed ``K_bar``, so the
+    iteration targets exactly the system the factorization approximates
+    (the rank-truncation error, 1e-9 at rank 12, is untouched). The
+    analogue of the refinement loops dense f64 solvers never need —
+    this is the price/fix for running the cascade on an f32 MXU.
+
+    Plain Richardson (``z += F^{-1} r``) DIVERGES here: the f32 inverse
+    cascade's error is not small-norm — the coarse-level SMW cores are
+    ill-conditioned and their explicit f32 inverses carry O(1)-gain
+    error directions (measured on a v5e at N=1e6: one plain step sent
+    the quadratic form from +1.0e6 to -5.8e6). Each step is therefore
+    residual-MINIMIZING: with search direction ``d = F^{-1} r``, the
+    per-column ``omega = <r, K d> / <K d, K d>`` makes ``||r'|| <=
+    ||r||`` unconditionally (GMRES(1) with the cascade as the right
+    preconditioner), and ``omega ~= 1`` recovers plain refinement
+    wherever the cascade is good.
+    """
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    Z = hodlr_solve(factors, struct, X)
+
+    def mv(V):
+        return hodlr_matvec(
+            pair_fn, theta, xpad, valid, diag_pad, struct, V,
+            include_diag=True,
+        )
+
+    R = X - mv(Z)
+    for _ in range(steps):
+        D = hodlr_solve(factors, struct, R)
+        KD = mv(D)
+        w = jnp.sum(R * KD, axis=0) / jnp.maximum(
+            jnp.sum(KD * KD, axis=0), jnp.finfo(X.dtype).tiny
+        )
+        Z = Z + w[None, :] * D
+        R = R - w[None, :] * KD
+    return Z[:, 0] if squeeze else Z
+
+
+@full_precision_matmuls
 def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
                  include_diag=True):
     """Structured matvec with the *compressed* matrix ``K_bar (+ diag)``
@@ -701,7 +753,7 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
 @full_precision_matmuls
 def hodlr_loglike_and_grad_hutchinson(
     pair_fn, theta, xpad, valid, diag_pad, r_pad, struct, key,
-    num_probes=16, n_real=None,
+    num_probes=16, n_real=None, refine_steps=0,
 ):
     """Log-likelihood + gradient without reverse-mode through the sweep.
 
@@ -727,7 +779,15 @@ def hodlr_loglike_and_grad_hutchinson(
     )
     probes = probes * valid[:, None]
     rhs = jnp.concatenate([r_pad[:, None], probes], axis=1)
-    sol = hodlr_solve(factors, struct, rhs)
+    if refine_steps:
+        # f32 at very large N: the cascade's forward error dominates the
+        # likelihood's accuracy budget — see ``hodlr_solve_refined``
+        sol = hodlr_solve_refined(
+            pair_fn, theta, xpad, valid, diag_pad, struct, factors,
+            rhs, steps=refine_steps,
+        )
+    else:
+        sol = hodlr_solve(factors, struct, rhs)
     alpha, Kinv_u = sol[:, 0], sol[:, 1:]
     quad = jnp.dot(r_pad, alpha)
     ll = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
@@ -977,7 +1037,8 @@ class HODLRSolver(object):
                  tol_abs=None, seed=42, sort=True, verbose=False,
                  debug=False, compute_grad=False, sym=False, knn=None,
                  grad_mode="exact", num_probes=16, mesh=None,
-                 shard_axis="data", pivots="aca", **kwargs):
+                 shard_axis="data", pivots="aca", refine_steps="auto",
+                 **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         if rank is None:
@@ -1036,6 +1097,15 @@ class HODLRSolver(object):
         # couple shards (validated against the unsharded path to 1e-9).
         self.mesh = mesh
         self.shard_axis = shard_axis
+        # Mixed-precision iterative refinement on every factor solve
+        # (see ``hodlr_solve_refined``): "auto" = 1 step when running
+        # f32 at N >= 2e5, where the cascade's forward error crosses
+        # the likelihood's accuracy budget (measured 1.1e-2 relative ll
+        # error at N=1e6 f32, back to ~7e-4 with one step); an int
+        # forces that many steps (0 disables).
+        if refine_steps != "auto":
+            refine_steps = int(refine_steps)
+        self.refine_steps = refine_steps
         self.computed = False
         self.log_determinant = None
         self._struct = None
@@ -1169,24 +1239,43 @@ class HODLRSolver(object):
 
         pair = self.kernel.pair_fn
         theta = jnp.asarray(self.kernel.parameter_vector)
+        refine = self.refine_steps
+        if refine == "auto":
+            refine = int(
+                self._xpad.dtype == jnp.float32 and n >= 200_000
+            )
+        self._refine_eff = refine
         if self.sym:
             self._factor_fn = jax.jit(
                 lambda th, xp, v, dp: hodlr_factor_sym(
                     pair, th, xp, v, dp, st
                 )
             )
-            self._solve_fn = jax.jit(
-                lambda f, yy: hodlr_sqrt_solve(
-                    f, st, hodlr_sqrt_solve(f, st, yy), transpose=True
-                )
+            base_solve = lambda f, yy: hodlr_sqrt_solve(  # noqa: E731
+                f, st, hodlr_sqrt_solve(f, st, yy), transpose=True
             )
         else:
             self._factor_fn = jax.jit(
                 lambda th, xp, v, dp: hodlr_factor(pair, th, xp, v, dp, st)
             )
-            self._solve_fn = jax.jit(
-                lambda f, yy: hodlr_solve(f, st, yy)
-            )
+            base_solve = lambda f, yy: hodlr_solve(f, st, yy)  # noqa: E731
+        if refine:
+            # refinement needs the compressed matvec at compute-theta;
+            # it wraps EITHER cascade (any approximate K^{-1} apply)
+            xp_, v_, dp_ = self._xpad, self._valid, self._diag_pad
+
+            def _refined(f, yy, th=theta):
+                Z = base_solve(f, yy)
+                for _ in range(refine):
+                    R = yy - hodlr_matvec(
+                        pair, th, xp_, v_, dp_, st, Z, include_diag=True
+                    )
+                    Z = Z + base_solve(f, R)
+                return Z
+
+            self._solve_fn = jax.jit(_refined)
+        else:
+            self._solve_fn = jax.jit(base_solve)
         from ..diagnostics import timer
 
         # the reference prints "Time taken for HODLR" per build
