@@ -33,6 +33,15 @@ def main():
     parser.add_argument("--truth-n", type=int, default=4000)
     parser.add_argument("--rank", type=int, default=16)
     parser.add_argument("--min-size", type=int, default=64)
+    parser.add_argument("--exact-truth", action="store_true",
+                        help="compute the dense BasicSolver likelihood at "
+                        "--truth-n on the fly (CPU f64; feasible to "
+                        "n~2e4) instead of relying on the precomputed "
+                        "n=4000 value")
+    parser.add_argument("--skip-weak", action="store_true",
+                        help="skip the HODLR head-to-head (for very "
+                        "large n where the weak partition is known to "
+                        "be the wrong tool)")
     args = parser.parse_args()
 
     import jax
@@ -69,12 +78,34 @@ def main():
     ll_small = float(gp.log_likelihood(yt))
     out["ll_truth_n"] = args.truth_n
     out["ll_small"] = round(ll_small, 4)
-    if args.truth_n == 4000:
+    truth = None
+    if args.exact_truth:
+        # dense exact likelihood for the same seeded dataset — the
+        # accuracy leg of the 2-D scaling protocol (the reference's
+        # scaling.rst compares against the dense solver the same way)
+        from george_tpu.solvers import BasicSolver
+
+        t0 = time.perf_counter()
+        gpx = GP(kernel_of(), solver=BasicSolver)
+        gpx.compute(xt, yerr=yerrt)
+        truth = float(gpx.log_likelihood(yt))
+        out["exact_truth_sec"] = round(time.perf_counter() - t0, 2)
+        out["ll_exact"] = round(truth, 4)
+    elif args.truth_n == 4000:
         # exact f64 BasicSolver likelihood for this seeded dataset,
         # computed once on the CPU (2026-08-17); the H-matrix answer's
         # distance from it is dominated by the SLQ logdet MC noise
         truth = 2894.5753680081853
+    if truth is not None:
         out["ll_rel_err"] = round(abs(ll_small - truth) / abs(truth), 6)
+        # weak-partition accuracy at the same rank, same small dataset
+        gpwt = GP(kernel_of(), solver=HODLRSolver, min_size=args.min_size,
+                  rank=args.rank)
+        gpwt.compute(xt, yerr=yerrt)
+        llw_small = float(gpwt.log_likelihood(yt))
+        out["ll_weak_rel_err"] = round(
+            abs(llw_small - truth) / abs(truth), 6
+        )
 
     # --- timing at the headline size -----------------------------------
     x, y, yerr = _dataset(args.n, rng)
@@ -104,6 +135,9 @@ def main():
     out["solve_sec"] = round(min(times), 4)
 
     # --- weak-partition head-to-head at the same rank -------------------
+    if args.skip_weak:
+        print(json.dumps(out), flush=True)
+        return
     t0 = time.perf_counter()
     gpw = GP(kernel_of(), solver=HODLRSolver, min_size=args.min_size,
              rank=args.rank)

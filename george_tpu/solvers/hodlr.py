@@ -1303,8 +1303,16 @@ class HODLRSolver(object):
 
     # configs already residual-checked this process: the check costs two
     # program traces (solve + compressed matvec), too much to pay on
-    # every recompute of an optimizer loop, and its target failure mode
-    # (an unsuitable kernel FAMILY) is a per-configuration property
+    # every recompute of an optimizer loop. Its target failure mode (an
+    # unsuitable kernel FAMILY) is mostly a per-configuration property,
+    # but the instability threshold is theta-dependent (a length scale
+    # growing past the domain size turns a decaying kernel effectively
+    # non-decaying), so the memo key includes a coarse per-parameter
+    # e-fold bucket: an optimizer walking theta into a new regime
+    # re-triggers the check once per regime, while same-regime
+    # recomputes stay free. Sampler-driven theta changes go through the
+    # fused ``loglike_fn`` path and are not covered — by design (that
+    # path must stay pure/jittable).
     _checked_configs = set()
 
     def _factorization_self_check(self):
@@ -1328,11 +1336,14 @@ class HODLRSolver(object):
         stays silent; here the failure is detected and reported."""
         self.factor_residual = None  # not measured on memoized recomputes
         self.compression_error = None  # measured only under debug=1
+        theta = np.asarray(self.kernel.parameter_vector, dtype=np.float64)
         key = (
             tuple(self.kernel.get_parameter_names()),
             type(self.kernel).__name__,
             len(self._perm), self.min_size, self.rank,
             str(np.asarray(self._xpad).dtype),
+            # e-fold regime buckets (parameters live in log space)
+            tuple(np.floor(theta).astype(np.int64).tolist()),
         )
         if key in HODLRSolver._checked_configs and not self.debug:
             return

@@ -514,6 +514,17 @@ def test_hodlr_self_check_warns_on_nondecaying_kernel():
     gp2.compute(x, 0.25)
     assert gp2.solver.factor_residual is None
 
+    # ... but the memo is theta-regime-aware: an optimizer walking a
+    # length scale into a different e-fold bucket re-triggers the check
+    # (instability is theta-dependent — a scale much larger than the
+    # domain makes a decaying kernel effectively non-decaying)
+    gp2.set_parameter_vector(gp2.get_parameter_vector() + 2.0)
+    gp2.compute(x, 0.25)
+    assert gp2.solver.factor_residual is not None
+    # and a same-regime recompute after that stays memoized again
+    gp2.compute(x, 0.25)
+    assert gp2.solver.factor_residual is None
+
 
 def test_hodlr_debug_flag_reports_errors(capsys):
     """``debug=1`` mirrors the reference's debug mode
