@@ -713,6 +713,28 @@ def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
     return Z[:, 0] if squeeze else Z
 
 
+# HBM budget for one materialized chunk of leaf gram blocks inside
+# hodlr_matvec (bytes). The full leaf gram at N=1e6 / m=245 is ~1 GB and
+# the matvec appears several times in the fused Hutchinson graph
+# (refinement residual + jacfwd tangents), so XLA keeps multiple remat
+# copies live — chunking the leaf sweep with lax.map bounds each copy.
+# The matvec is HBM-bandwidth-bound (k << m), so serializing chunks
+# costs nothing measurable.
+_LEAF_MATVEC_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def _leaf_chunk(B, m, dtype):
+    """Largest divisor of ``B`` whose leaf-gram chunk fits the budget
+    (None = no chunking needed)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    if B * m * m * itemsize <= _LEAF_MATVEC_CHUNK_BYTES:
+        return None
+    chunk = max(1, _LEAF_MATVEC_CHUNK_BYTES // (m * m * itemsize))
+    while B % chunk:
+        chunk -= 1
+    return chunk
+
+
 @full_precision_matmuls
 def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
                  include_diag=True):
@@ -728,12 +750,31 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
 
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
-    Kb = jax.vmap(
-        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
-    )(xb, vb)
-    if include_diag:
-        Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
-    Y = jnp.einsum("bij,bjk->bik", Kb, X.reshape(B, m, k)).reshape(X.shape)
+    db = diag_pad.reshape(B, m)
+    Xl = X.reshape(B, m, k)
+
+    def leaf_apply(xc, vc, dc, Xc):
+        Kc = jax.vmap(
+            lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
+        )(xc, vc)
+        if include_diag:
+            Kc = Kc + jax.vmap(jnp.diag)(dc)
+        return jnp.einsum("bij,bjk->bik", Kc, Xc)
+
+    chunk = _leaf_chunk(B, m, X.dtype)
+    if chunk is None:
+        Y = leaf_apply(xb, vb, db, Xl).reshape(X.shape)
+    else:
+        nc = B // chunk
+        Y = jax.lax.map(
+            lambda a: leaf_apply(*a),
+            (
+                xb.reshape(nc, chunk, m, -1),
+                vb.reshape(nc, chunk, m),
+                db.reshape(nc, chunk, m),
+                Xl.reshape(nc, chunk, m, k),
+            ),
+        ).reshape(X.shape)
 
     for lev, (C, Q) in zip(
         struct.levels,

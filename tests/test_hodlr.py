@@ -286,6 +286,28 @@ def test_hutchinson_loglike_and_grad_function():
     assert np.allclose(np.asarray(g_e), np.asarray(g_h), rtol=0.1,
                        atol=0.5)
 
+    # the HBM-bounded leaf sweep (lax.map chunks) must be bit-identical
+    # to the one-shot batched sweep, including through the jacfwd path
+    # the fused Hutchinson entry point uses (this is what keeps the
+    # N=1e6 graph under the 16 GB HBM budget on a v5e)
+    from george_tpu.solvers import hodlr as hodlr_mod
+
+    saved = hodlr_mod._LEAF_MATVEC_CHUNK_BYTES
+    try:
+        itemsize = np.dtype(xpad.dtype).itemsize
+        hodlr_mod._LEAF_MATVEC_CHUNK_BYTES = 2 * st.m * st.m * itemsize
+        assert hodlr_mod._leaf_chunk(
+            st.n_pad // st.m, st.m, xpad.dtype
+        ) is not None
+        ll_c, g_c = hodlr_loglike_and_grad_hutchinson(
+            pair, theta, xj, vj, dj, rj, st, jax.random.PRNGKey(0),
+            num_probes=48, n_real=len(x),
+        )
+    finally:
+        hodlr_mod._LEAF_MATVEC_CHUNK_BYTES = saved
+    assert np.isclose(float(ll_h), float(ll_c), rtol=1e-12)
+    assert np.allclose(np.asarray(g_h), np.asarray(g_c), rtol=1e-8)
+
 
 def test_hodlr_sym_solver_parity():
     """``sym=1`` routes the whole solver protocol through the symmetric
