@@ -98,14 +98,15 @@ def main():
         truth = 2894.5753680081853
     if truth is not None:
         out["ll_rel_err"] = round(abs(ll_small - truth) / abs(truth), 6)
-        # weak-partition accuracy at the same rank, same small dataset
-        gpwt = GP(kernel_of(), solver=HODLRSolver, min_size=args.min_size,
-                  rank=args.rank)
-        gpwt.compute(xt, yerr=yerrt)
-        llw_small = float(gpwt.log_likelihood(yt))
-        out["ll_weak_rel_err"] = round(
-            abs(llw_small - truth) / abs(truth), 6
-        )
+        if not args.skip_weak:
+            # weak-partition accuracy at the same rank, same small dataset
+            gpwt = GP(kernel_of(), solver=HODLRSolver,
+                      min_size=args.min_size, rank=args.rank)
+            gpwt.compute(xt, yerr=yerrt)
+            llw_small = float(gpwt.log_likelihood(yt))
+            out["ll_weak_rel_err"] = round(
+                abs(llw_small - truth) / abs(truth), 6
+            )
 
     # --- timing at the headline size -----------------------------------
     x, y, yerr = _dataset(args.n, rng)

@@ -761,7 +761,10 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
             Kc = Kc + jax.vmap(jnp.diag)(dc)
         return jnp.einsum("bij,bjk->bik", Kc, Xc)
 
-    chunk = _leaf_chunk(B, m, X.dtype)
+    # size the HBM budget from the materialized leaf-gram dtype (theta x
+    # xpad), not the probe dtype: mixed-precision calls (f32 probes on an
+    # f64-built kernel) would otherwise under-count by 2x
+    chunk = _leaf_chunk(B, m, jnp.result_type(theta.dtype, xpad.dtype))
     if chunk is None:
         Y = leaf_apply(xb, vb, db, Xl).reshape(X.shape)
     else:
@@ -1378,17 +1381,23 @@ class HODLRSolver(object):
         self.factor_residual = None  # not measured on memoized recomputes
         self.compression_error = None  # measured only under debug=1
         theta = np.asarray(self.kernel.parameter_vector, dtype=np.float64)
-        key = (
-            tuple(self.kernel.get_parameter_names()),
-            type(self.kernel).__name__,
-            len(self._perm), self.min_size, self.rank,
-            str(np.asarray(self._xpad).dtype),
-            # e-fold regime buckets (parameters live in log space)
-            tuple(np.floor(theta).astype(np.int64).tolist()),
-        )
-        if key in HODLRSolver._checked_configs and not self.debug:
-            return
-        HODLRSolver._checked_configs.add(key)
+        if np.isfinite(theta).all():
+            # e-fold regime buckets. Most parameters live in log space so
+            # unit-width buckets track multiplicative regime; linear-scale
+            # params (e.g. ExpSine2 gamma) just get finer granularity
+            # (more conservative — extra checks, never missed ones).
+            key = (
+                tuple(self.kernel.get_parameter_names()),
+                type(self.kernel).__name__,
+                len(self._perm), self.min_size, self.rank,
+                str(np.asarray(self._xpad).dtype),
+                tuple(np.floor(theta).astype(np.int64).tolist()),
+            )
+            if key in HODLRSolver._checked_configs and not self.debug:
+                return
+            HODLRSolver._checked_configs.add(key)
+        # non-finite theta: floor() is undefined for the bucket — never
+        # memoize, always run the check (such a compute deserves one)
         rng = np.random.default_rng(self.seed + 7)
         v = rng.standard_normal(len(self._perm))
         z = self.apply_inverse(v)
