@@ -452,6 +452,101 @@ class GP(ModelSet):
 
         return log_prob
 
+    def check_fused_thetas(self, thetas, y, yerr=0.0, max_evals=16,
+                           tol=None, warn=True):
+        """Post-hoc factorization health check over sampler-visited thetas.
+
+        The fused ``log_prob_fn`` closure is pure/jittable by design, so
+        the per-compute factorization self-check never sees the thetas a
+        sampler proposes — a chain walking a Linear/Polynomial-component
+        amplitude into the non-decaying regime (where the hierarchical
+        SMW cores go singular; the reference's identical cascade fails
+        the same way and stays silent, ``hodlr.h:707-711``) would get
+        silently corrupted log-probabilities. Run THIS after sampling:
+        it evaluates the relative solve residual ``|K z - r| / |r|`` of
+        the fused factorization at the per-dimension extreme thetas plus
+        an even subsample of the chain (instability lives at the
+        extremes of a regime walk), and warns when any exceeds ``tol``.
+
+        Parameters mirror :func:`log_prob_fn`: ``thetas`` are ACTIVE
+        parameter vectors, shape ``(..., ndim)`` (chains/samples leading
+        dims are flattened); ``y``/``yerr`` are the computed dataset.
+        Returns ``{"thetas", "residuals", "max", "ok"}``; ``None`` when
+        the computed solver has no fused residual monitor (dense and
+        CG-based solvers control their residual by construction).
+        """
+        if not (
+            self.solver is not None
+            and self.solver.computed
+            and hasattr(self.solver, "residual_fn")
+        ):
+            return None
+        x = jnp.asarray(self.parse_samples(self._x))
+        y = jnp.asarray(
+            np.ascontiguousarray(np.atleast_1d(y), dtype=np.float64)
+        )
+        try:
+            yerr2 = float(yerr) ** 2 * jnp.ones(y.shape[0])
+        except TypeError:
+            yerr2 = jnp.asarray(np.asarray(yerr, dtype=np.float64)) ** 2
+
+        mean, wn = self.mean, self.white_noise
+        n_m, n_w = mean.full_size, wn.full_size
+        rfn = self.solver.residual_fn()
+        base = jnp.asarray(self.parameter_vector)
+        mask = self.unfrozen_mask
+        (active_idx,) = np.nonzero(mask)
+        active_idx = jnp.asarray(active_idx)
+
+        @jax.jit
+        def residual(theta_active):
+            theta = base.at[active_idx].set(theta_active)
+            mu = mean.value_fn(theta[:n_m], x)
+            wnv = wn.value_fn(theta[n_m:n_m + n_w], x)
+            return rfn(theta[n_m + n_w:], yerr2 + jnp.exp(wnv), y - mu)
+
+        th = np.asarray(thetas, dtype=np.float64)
+        th = th.reshape(-1, th.shape[-1])
+        th = th[np.all(np.isfinite(th), axis=1)]
+        if th.shape[0] == 0:
+            return {"thetas": th, "residuals": np.empty(0),
+                    "max": 0.0, "ok": True}
+        # per-dimension extremes + an even subsample, deduplicated
+        idx = set()
+        for d in range(th.shape[1]):
+            idx.add(int(np.argmin(th[:, d])))
+            idx.add(int(np.argmax(th[:, d])))
+        for i in np.linspace(0, th.shape[0] - 1,
+                             max(max_evals - len(idx), 2)).astype(int):
+            idx.add(int(i))
+        idx = sorted(idx)[:max(max_evals, 2 * th.shape[1])]
+        picked = th[idx]
+        res = np.array([float(residual(t)) for t in picked])
+        if tol is None:
+            f64 = np.asarray(x).dtype == np.float64 and jax.config.jax_enable_x64
+            tol = 1e-6 if f64 else 1e-2
+        bad = ~(res < tol)  # NaN residuals count as failures
+        out = {"thetas": picked, "residuals": res,
+               "max": float(np.nanmax(res)) if np.isfinite(res).any()
+               else float("inf"),
+               "ok": not bool(bad.any())}
+        if warn and bad.any():
+            worst = int(np.nanargmax(np.where(np.isfinite(res), res,
+                                              np.inf)))
+            warnings.warn(
+                "fused-path factorization residual check failed at %d of "
+                "%d sampled thetas (worst |Kz-r|/|r| = %.2e at theta=%s, "
+                "tol %.0e): the chain visited a regime where the "
+                "hierarchical factorization is unstable (typically a "
+                "non-decaying kernel component growing dominant) — "
+                "log-probabilities there are unreliable. Restrict the "
+                "prior, or use BasicSolver at these scales."
+                % (int(bad.sum()), len(res), out["max"],
+                   np.array2string(picked[worst], precision=3), tol),
+                stacklevel=2,
+            )
+        return out
+
     def _fused_value_and_grad(self):
         if self._fused is None:
             self._fused = {}
@@ -507,9 +602,72 @@ class GP(ModelSet):
             if quiet:
                 return np.zeros(len(self), dtype=np.float64)
             raise
-        return self.solver.grad_log_likelihood(
+        g = self.solver.grad_log_likelihood(
             self, self._x, alpha, self.unfrozen_mask
         )
+        if getattr(self.solver, "debug", False):
+            self._debug_gradient_check(y, g)
+        return g
+
+    def _debug_gradient_check(self, y, g_est):
+        """Under ``debug=1``, mirror the reference's GP-layer debug
+        prints (reference ``gp.py:556-562``): the dense-exact gradient
+        next to the matrix-free estimate, so compression/Monte-Carlo
+        error in the estimated gradient is visible. O(n^2) memory —
+        debug is a small/medium-n tool (the reference's version
+        materializes the same dense matrices)."""
+        n = len(self._x)
+        self.debug_gradient = None
+        if n > 20000:
+            warnings.warn(
+                "debug gradient comparison skipped at n=%d (it "
+                "materializes dense O(n^2) matrices)" % n
+            )
+            return None
+        K = np.asarray(
+            self.kernel.get_value(self._x), dtype=np.float64
+        ).copy()
+        K[np.diag_indices_from(K)] += self._yerr2 + np.exp(
+            self._call_white_noise(self._x)
+        )
+        import scipy.linalg as sla
+
+        cf = sla.cho_factor(K, lower=True)
+        r = np.ascontiguousarray(
+            self._check_dimensions(y) - self._call_mean(self._x),
+            dtype=np.float64,
+        )
+        alpha = sla.cho_solve(cf, r)
+        info = np.outer(alpha, alpha) - sla.cho_solve(cf, np.eye(n))
+        pieces = []
+        if len(self.mean):
+            pieces.append(self._call_mean_gradient(self._x) @ alpha)
+        if len(self.white_noise):
+            scale = np.exp(self._call_white_noise(self._x)) * np.diag(info)
+            pieces.append(
+                0.5 * self._call_white_noise_gradient(self._x) @ scale
+            )
+        if len(self.kernel):
+            dK = self.kernel.get_gradient(self._x)
+            pieces.append(
+                0.5 * np.tensordot(dK, info, axes=[(0, 1), (0, 1)])
+            )
+        # pieces are already active-sized (len(model) counts unfrozen
+        # params), exactly as in _grad_log_likelihood_host
+        g_exact = np.concatenate(pieces) if pieces else np.empty(0)
+        g_est = np.asarray(g_est, dtype=np.float64)
+        rep = {
+            "exact": g_exact,
+            "estimated": g_est,
+            "max_abs_delta": float(np.max(np.abs(g_exact - g_est)))
+            if g_exact.size else 0.0,
+        }
+        self.debug_gradient = rep
+        if getattr(self.solver, "verbose", False):
+            # the reference's two prints (gp.py:560-562)
+            print(g_exact, "grad_exact")
+            print(g_est, "grad_estimated")
+        return rep
 
     def nll(self, vector, y, quiet=True):
         """Negative log-likelihood at ``vector`` (optimizer objective)."""

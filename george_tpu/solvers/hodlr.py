@@ -1481,6 +1481,46 @@ class HODLRSolver(object):
 
         return loglike
 
+    def residual_fn(self):
+        """Pure ``f(theta_kernel, diag, r) -> relative solve residual``
+        ``|K_bar z - r| / |r|`` of the fused factorization at ``theta``.
+
+        The fused ``loglike_fn`` path is pure/jittable by design, so the
+        per-compute factorization self-check never sees the thetas a
+        sampler walks through — a chain crossing into a non-decaying
+        regime (e.g. a Linear/Polynomial amplitude growing until the SMW
+        cores go singular, the silent failure of the reference's
+        identical cascade ``hodlr.h:707-711``) would get garbage
+        log-probabilities with no diagnostic. This function is the
+        post-hoc monitor: evaluate it at the thetas a sampler visited
+        (``GP.check_fused_thetas`` picks the extremes) and compare
+        against the self-check tolerance."""
+        st = self._struct
+        pair = self.kernel.pair_fn
+        perm = jnp.asarray(self._perm)
+        xpad, valid = self._xpad, self._valid
+        n = st.n
+
+        @full_precision_matmuls
+        def residual(theta_k, diag, r):
+            diag_pad = jnp.concatenate(
+                [diag[perm], jnp.ones(st.n_pad - n, dtype=diag.dtype)]
+            )
+            r_pad = jnp.concatenate(
+                [r[perm], jnp.zeros(st.n_pad - n, dtype=r.dtype)]
+            )
+            factors, _ = hodlr_factor(
+                pair, theta_k, xpad, valid, diag_pad, st
+            )
+            z = hodlr_solve(factors, st, r_pad)
+            kz = hodlr_matvec(
+                pair, theta_k, xpad, valid, diag_pad, st, z,
+                include_diag=True,
+            )
+            return jnp.linalg.norm(kz - r_pad) / jnp.linalg.norm(r_pad)
+
+        return residual
+
     # -- george protocol ----------------------------------------------------
 
     def _pad_rhs(self, y):

@@ -643,3 +643,80 @@ def test_hmatrix_lcm_multitask_oracle():
     # SLQ logdet carries MC noise; the bound is the solver's documented
     # accuracy grade, not the HODLR exact-factorization grade
     assert abs(ll - ll_true) / abs(ll_true) < 1e-3
+
+
+def test_check_fused_thetas_detects_regime_walk():
+    """The fused ``log_prob_fn`` path is pure, so the per-compute
+    self-check never sees sampler-proposed thetas; ``check_fused_thetas``
+    is the post-hoc monitor. A chain walking a Polynomial-component
+    amplitude from negligible to dominant must surface a warning (the
+    reference's identical cascade returns silent garbage there,
+    ``hodlr.h:707-711``); a benign chain must pass silently."""
+    import warnings
+
+    rng = np.random.default_rng(3)
+    n = 256
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0) + np.exp(-12.0) * (
+        kernels.PolynomialKernel(log_sigma2=0.0, order=3)
+    )
+    gp = GP(kernel, solver=HODLRSolver, min_size=32, rank=24)
+    gp.compute(x, 0.25)
+    theta0 = gp.get_parameter_vector()
+
+    # a benign "chain": small jitter around the computed theta
+    good = theta0[None, :] + 0.05 * rng.standard_normal((40, len(theta0)))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rep = gp.check_fused_thetas(good, y, yerr=0.25)
+    assert rep is not None and rep["ok"], rep["max"]
+    assert not any("residual check" in str(w.message) for w in caught)
+
+    # a regime walk: one tail of the chain pushes the polynomial
+    # amplitude up until it dominates (non-decaying regime)
+    bad = good.copy()
+    amp_idx = list(gp.get_parameter_names()).index(
+        "kernel:k2:k1:log_constant"
+    )
+    bad[-1, amp_idx] = 2.0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rep = gp.check_fused_thetas(bad, y, yerr=0.25)
+    assert rep is not None and not rep["ok"]
+    assert any("residual check" in str(w.message) for w in caught)
+
+    # solvers without a fused residual monitor opt out cleanly
+    gpb = GP(1.2 * kernels.ExpSquaredKernel(2.0), solver=BasicSolver)
+    gpb.compute(x, 0.25)
+    assert gpb.check_fused_thetas(good[:, :2], y, yerr=0.25) is None
+
+
+def test_debug_gradient_comparison(capsys):
+    """``debug=1`` at the GP layer mirrors the reference's exact-vs-
+    estimated gradient report (reference ``gp.py:556-562``): the
+    matrix-free (Hutchinson) gradient is printed next to a dense-exact
+    one and both are stored on the GP."""
+    x, y, yerr = _data(400)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    gp = GP(kernel, solver=HODLRSolver, min_size=64, rank=32,
+            grad_mode="hutchinson", num_probes=64, debug=True,
+            verbose=True)
+    gp.compute(x, yerr)
+    g = gp.grad_log_likelihood(y)
+    rep = gp.debug_gradient
+    assert rep is not None
+    np.testing.assert_allclose(rep["estimated"], g)
+
+    # the "exact" column is the true dense gradient
+    gpb = GP(1.2 * kernels.ExpSquaredKernel(2.0), solver=BasicSolver)
+    gpb.compute(x, yerr)
+    gb = gpb.grad_log_likelihood(y)
+    np.testing.assert_allclose(rep["exact"], gb, rtol=1e-4, atol=1e-7)
+
+    # the estimate tracks it to compression + MC accuracy
+    scale = np.maximum(np.abs(rep["exact"]), 1.0)
+    assert np.max(np.abs(rep["exact"] - rep["estimated"]) / scale) < 0.2
+
+    out = capsys.readouterr().out
+    assert "grad_exact" in out and "grad_estimated" in out
