@@ -441,9 +441,34 @@ class HMatrixSolver(object):
         most of the Hutchinson variance; handling it exactly and
         estimating only the deflated remainder cuts the gradient's MC
         noise by an order of magnitude at equal matvec cost (measured —
-        see the class notes). 0 disables deflation (the reference's
-        plain Regime-B estimator, ``gp.py:506-562``).
+        see the class notes). The default ``"auto"`` reads the rank off
+        the Nystrom spectrum the preconditioner already computed: keep
+        every direction whose whitened eigenvalue (kernel-to-noise
+        ratio) exceeds ``_DEFLATION_S2_FLOOR``, capped by the basis size
+        and an HBM budget for the extra solve columns. This matters in
+        d >= 2, where the kernel's effective
+        rank grows like (domain/lengthscale)^d and a fixed small rank
+        undersells the win (measured: ~2x noise reduction at rank 64 vs
+        ~30x at the effective rank on 2-D data); when even the full
+        Nystrom basis captures less than the threshold a warning
+        suggests raising ``nystrom_rank``. An int forces that rank;
+        0 disables deflation (the reference's plain Regime-B estimator,
+        ``gp.py:506-562``).
     """
+
+    # "auto" deflation: keep every Nystrom eigendirection whose whitened
+    # eigenvalue (= kernel-to-noise ratio in that direction) exceeds this
+    # floor. NOT a trace-energy criterion: the Hutchinson variance of
+    # tr(K^{-1} dK) goes like sum (s2/(1+s2))^2 over UNdeflated
+    # directions, so the long 2-D tail of O(1)..O(0.01) eigenvalues
+    # carries the noise while contributing almost no trace energy
+    # (measured, n=3000 2-D: 99.99% energy = rank 132 still left 1.8e-2
+    # gradient error; the s2 > 0.01 cut = rank ~213 reached ~5e-4).
+    _DEFLATION_S2_FLOOR = 0.01
+    # ... capped so the extra K^{-1} basis columns (the dominant memory
+    # cost: a few (n_pad, r) buffers live through the CG batch) stay
+    # under this budget
+    _DEFLATION_BUDGET_BYTES = 256 * 1024 * 1024
 
     matrix_free = True
 
@@ -452,7 +477,7 @@ class HMatrixSolver(object):
                  maxiter=200, num_probes=16, num_steps=12, seed=42,
                  sort=True, verbose=False, store_near="auto",
                  store_near_budget=2 << 30, tol_abs=None,
-                 grad_deflation_rank=64, **kwargs):
+                 grad_deflation_rank="auto", **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         self.rank = int(rank)
@@ -471,7 +496,9 @@ class HMatrixSolver(object):
         self.store_near = store_near
         self.store_near_budget = int(store_near_budget)
         self.tol_abs = None if tol_abs is None else float(tol_abs)
-        self.grad_deflation_rank = int(grad_deflation_rank)
+        if grad_deflation_rank != "auto":
+            grad_deflation_rank = int(grad_deflation_rank)
+        self.grad_deflation_rank = grad_deflation_rank
         self.computed = False
         self.log_determinant = None
 
@@ -930,11 +957,56 @@ class HMatrixSolver(object):
         eigenvectors of the whitened preconditioner are already sitting
         in ``self._nystrom``; on the f64 1-D path (symmetric-HODLR
         whitener, no Nystrom) the basis is a thin QR of kernel columns
-        at global FPS pivots — one extra ``(n, r)`` kernel block."""
-        r = min(self.grad_deflation_rank, self._hs.n_pad - 1)
+        at global FPS pivots — one extra ``(n, r)`` kernel block.
+
+        ``grad_deflation_rank="auto"`` resolves against the Nystrom
+        spectrum: deflation only pays once the basis spans the kernel's
+        effective rank, and the per-direction variance contribution is
+        ``(s2/(1+s2))^2`` — so keep every direction with ``s2`` above
+        ``_DEFLATION_S2_FLOOR``, capped by the basis size and the HBM
+        budget. Warn when the cut is forced while the spectrum is still
+        above the floor — the deflation is then rank-starved and
+        ``nystrom_rank`` is the knob to raise."""
+        spec = self.grad_deflation_rank
+        Q2 = getattr(self, "_nystrom", None)
+        if spec == "auto":
+            if Q2 is None:
+                # f64 1-D FPS-column path: the smooth subspace is tiny
+                # (measured: rank 64 collapses the noise 0.2 -> 1e-5)
+                r = 64
+            else:
+                s2d = np.sort(np.asarray(Q2[1], dtype=np.float64))[::-1]
+                floor = self._DEFLATION_S2_FLOOR
+                want = int(np.sum(s2d > floor))
+                cap = max(
+                    16,
+                    self._DEFLATION_BUDGET_BYTES
+                    // (self._hs.n_pad * self._xpad.dtype.itemsize),
+                )
+                r = max(16, min(want, int(cap), len(s2d)))
+                starved = want > r or (
+                    want == len(s2d) and s2d[-1] > floor
+                )
+                if starved:
+                    import warnings
+
+                    warnings.warn(
+                        "HMatrixSolver gradient deflation is "
+                        "rank-starved: the retained basis (rank %d of "
+                        "%d) leaves whitened directions above the "
+                        "variance floor %.0e undeflated (smallest "
+                        "retained eigenvalue %.2e). The trace-term "
+                        "noise reduction will be partial — raise "
+                        "nystrom_rank toward the kernel's effective "
+                        "rank."
+                        % (r, len(s2d), floor, s2d[r - 1]),
+                        RuntimeWarning,
+                    )
+        else:
+            r = int(spec)
+        r = min(r, self._hs.n_pad - 1)
         if r <= 0:
             return None
-        Q2 = getattr(self, "_nystrom", None)
         if Q2 is not None:
             Q2, s2 = Q2
             if r >= Q2.shape[1]:
@@ -988,6 +1060,12 @@ class HMatrixSolver(object):
         # between the two and tracks whichever is better (beta -> 1
         # when deflation wins, -> 0 when it would hurt). All samples
         # come from ONE jvp: dK u = dK(Pu) + (dK Q)(Q^T u).
+        # Caveat: beta is FITTED from the same <=num_probes samples it
+        # then reweights, so the estimator carries an O(1/num_probes)
+        # finite-sample bias (Lavenberg-Welch regression CV). The [0,1]
+        # clip bounds it by the *smaller* of the two estimators' spreads
+        # — negligible against the MC noise it removes, but this is a
+        # biased-for-variance trade, not a free lunch.
         Q = self._grad_deflation_basis()
         if Q is not None:
             r = Q.shape[1]

@@ -32,6 +32,7 @@ jax.config.update("jax_enable_x64", True)
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = {
+    "test_grad_deflation_auto_rank_2d",            # 396s (n=1e4 2-D + dense oracle)
     "test_hutchinson_loglike_and_grad_function",   # 87s
     "test_hmatrix_fused_loglike_and_grad",         # 80s
     "test_baseline_config3_hodlr_1e6_at_1e4_quasiperiodic",  # 57s
