@@ -309,6 +309,56 @@ def test_hutchinson_loglike_and_grad_function():
     assert np.allclose(np.asarray(g_h), np.asarray(g_c), rtol=1e-8)
 
 
+def test_matvec_factors_parity_and_refined_hutchinson():
+    """``hodlr_matvec_factors`` (the assembly-free compressed matvec
+    rebuilt from the stored factors) must agree with the fresh-assembly
+    ``hodlr_matvec`` to rounding, and the ``refine_steps=1`` Hutchinson
+    path (refinement + gated logdet trace correction) must reproduce the
+    exact f64 likelihood — in f64 the residuals are ~eps, so the gate is
+    open and the correction must be numerically inert."""
+    import jax.numpy as jnp
+    from george_tpu.solvers.hodlr import (
+        build_structure, hodlr_factor, hodlr_matvec,
+        hodlr_matvec_factors, hodlr_loglike_and_grad_hutchinson,
+    )
+
+    x, y, yerr = _data(600)
+    kernel = 1.2 * kernels.ExpSquaredKernel(2.0)
+    pair = kernel.pair_fn
+    theta = jnp.asarray(kernel.parameter_vector)
+    st = build_structure(len(x), min_size=64, rank=32, seed=42, x_sorted=x)
+    xpad = np.concatenate([x, np.repeat(x[-1:], st.n_pad - len(x), axis=0)])
+    valid = np.zeros(st.n_pad, bool)
+    valid[: len(x)] = True
+    dp = np.ones(st.n_pad)
+    dp[: len(x)] = yerr ** 2
+    rp = np.zeros(st.n_pad)
+    rp[: len(x)] = y
+    xj, vj, dj, rj = map(jnp.asarray, (xpad, valid, dp, rp))
+
+    factors, _ = hodlr_factor(pair, theta, xj, vj, dj, st)
+    V = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (st.n_pad, 4)))
+    mv_fresh = hodlr_matvec(pair, theta, xj, vj, dj, st, V,
+                            include_diag=True)
+    mv_fact = hodlr_matvec_factors(factors, st, V)
+    num = np.linalg.norm(np.asarray(mv_fresh - mv_fact))
+    den = np.linalg.norm(np.asarray(mv_fresh))
+    assert num / den < 1e-10
+
+    ll0, g0 = hodlr_loglike_and_grad_hutchinson(
+        pair, theta, xj, vj, dj, rj, st, jax.random.PRNGKey(0),
+        num_probes=48, n_real=len(x),
+    )
+    ll1, g1 = hodlr_loglike_and_grad_hutchinson(
+        pair, theta, xj, vj, dj, rj, st, jax.random.PRNGKey(0),
+        num_probes=48, n_real=len(x), refine_steps=1,
+    )
+    assert np.isclose(float(ll0), float(ll1), rtol=1e-9, atol=1e-7)
+    assert np.allclose(np.asarray(g0), np.asarray(g1), rtol=1e-6,
+                       atol=1e-6)
+
+
 def test_hodlr_sym_solver_parity():
     """``sym=1`` routes the whole solver protocol through the symmetric
     ``K = W W^T`` cascade (reference ``hodlr.h:713-786``): logdet,
