@@ -465,6 +465,54 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     return out
 
 
+# Deep f32 trees need precision-hardened SMW cores: the f32-COMPUTED
+# explicit inverse of an ill-conditioned core carries kappa*eps forward
+# error in its entries, and the T-update chain amplifies it with O(1)
+# gain per level. Measured: the cascade is clean to 6.5e-4 at
+# L=11 (n=2e5) but reaches solve residual |Kz-r|/|r| = 9.0 on-chip at
+# L=13 (n=1e6) with a +1263-nat logdet bias. An accurately-computed,
+# then f32-CAST inverse is benign (the f64-build/f32-solve precision
+# ladder rung reproduces no error), so only the tiny (p, 2c, 2c) core
+# inverse + slogdet step needs hardening — double-single (two-float)
+# Gauss-Jordan on TPU (``ops/ds.py``), native f64 wherever x64 exists.
+_DS_CORE_MIN_LEVELS = 12
+
+
+def _core_inv_slogdet(core, struct):
+    """Per-level SMW core inverse + log|det|, precision-hardened for
+    deep f32 trees (see ``_DS_CORE_MIN_LEVELS`` above).
+
+    Modes (static at trace time): f64 input -> plain ``linalg``;
+    f32 with ``GEORGE_TPU_CORE_F64=1`` under x64 -> promote to f64 (the
+    CPU diagnostic rung, ``benchmarks/diag_attrib.py`` rung E); f32 on a
+    deep tree (or ``GEORGE_TPU_CORE_DS=1``) -> double-single
+    Gauss-Jordan; shallow f32 trees keep the plain path (measured clean,
+    and the headline bench budget is tight).
+    """
+    import os as _os
+
+    if core.dtype == jnp.float32:
+        if (_os.environ.get("GEORGE_TPU_CORE_F64") == "1"
+                and jax.config.jax_enable_x64):
+            core64 = core.astype(jnp.float64)
+            core_inv = jnp.linalg.inv(core64).astype(core.dtype)
+            _, ld = jnp.linalg.slogdet(core64)
+            return core_inv, ld.astype(core.dtype)
+        ds_env = _os.environ.get("GEORGE_TPU_CORE_DS")
+        use_ds = (
+            struct.L >= _DS_CORE_MIN_LEVELS if ds_env is None
+            else ds_env == "1"
+        )
+        if use_ds:
+            from ..ops.ds import ds_inv_logdet
+
+            core_inv, ld, _sign = ds_inv_logdet(core)
+            return core_inv, ld
+    core_inv = jnp.linalg.inv(core)
+    _, ld = jnp.linalg.slogdet(core)
+    return core_inv, ld
+
+
 @full_precision_matmuls
 def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     """Factorize ``K_compressed + diag`` level-by-level.
@@ -546,8 +594,7 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
                 axis=-2,
             )                                                # (p, 2c, 2c)
             core = _level_anchor(core, struct, p)
-            core_inv = jnp.linalg.inv(core)
-            _, ld = jnp.linalg.slogdet(core)
+            core_inv, ld = _core_inv_slogdet(core, struct)
         logdet = logdet + jnp.sum(ld)
         levels_out[li] = (Zs[li], T[li], core_inv)
 

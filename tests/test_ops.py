@@ -108,3 +108,68 @@ def test_pallas_dia_matvec_interpret():
             valsj, offsets, diagj, y, block_rows=256, interpret=True
         ))
         assert np.allclose(ref, out, rtol=1e-12, atol=1e-12)
+
+
+def test_ds_inv_logdet_matches_f64():
+    """Double-single Gauss-Jordan (``ops/ds.py``) matches the f64
+    reference on batches of small ill-conditioned matrices — the SMW
+    core shapes/conditions it exists for (kappa up to 1e7 measured at
+    N=1e6, ``hodlr._core_inv_slogdet``)."""
+    from george_tpu.ops.ds import ds_inv_logdet, ds_inv_logdet_ref
+
+    rng = np.random.default_rng(3)
+    for m, kappa in ((24, 1e7), (48, 1e5), (6, 1e2)):
+        p = 32
+        U, _ = np.linalg.qr(rng.standard_normal((p, m, m)))
+        V, _ = np.linalg.qr(rng.standard_normal((p, m, m)))
+        s = np.logspace(0, -np.log10(kappa), m)
+        A = (U * s[None, None, :] @ np.swapaxes(V, -1, -2)).astype(
+            np.float32
+        )
+        inv_ds, ld_ds, sg_ds = jax.jit(ds_inv_logdet)(jnp.asarray(A))
+        inv64, ld64, sg64 = ds_inv_logdet_ref(A)
+        scale = np.abs(inv64).max(axis=(-2, -1), keepdims=True)
+        assert np.max(np.abs(np.asarray(inv_ds) - inv64) / scale) < 1e-5
+        assert np.max(np.abs(np.asarray(ld_ds) - ld64)) < 1e-3
+        assert np.all(np.asarray(sg_ds) == sg64)
+
+
+def test_ds_core_path_parity_small():
+    """Forcing the DS core path (GEORGE_TPU_CORE_DS=1) through a full
+    f32 HODLR factorization reproduces the plain-f32 log-likelihood on a
+    shallow tree — the gate flips implementation, not semantics."""
+    import os
+
+    from george_tpu import kernels as K
+    from george_tpu.solvers.hodlr import (
+        build_structure, hodlr_factor, hodlr_solve,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 600
+    x = np.sort(rng.uniform(0, 40, n))[:, None].astype(np.float32)
+    kernel = 1.1 * K.ExpSquaredKernel(2.0)
+    theta = jnp.asarray(kernel.parameter_vector, dtype=jnp.float32)
+    st = build_structure(n, min_size=64, rank=16, seed=42, x_sorted=x)
+    xpad = np.concatenate([x, np.repeat(x[-1:], st.n_pad - n, axis=0)])
+    valid = np.zeros(st.n_pad, bool)
+    valid[:n] = True
+    dp = np.ones(st.n_pad, np.float32)
+    rp = rng.standard_normal(st.n_pad).astype(np.float32)
+    args = (kernel.pair_fn, theta, jnp.asarray(xpad, jnp.float32),
+            jnp.asarray(valid), jnp.asarray(dp), st)
+
+    def ll():
+        f, ld = hodlr_factor(*args)
+        z = hodlr_solve(f, st, jnp.asarray(rp))
+        return float(jnp.dot(jnp.asarray(rp), z)), float(ld)
+
+    os.environ.pop("GEORGE_TPU_CORE_DS", None)
+    q0, ld0 = ll()
+    os.environ["GEORGE_TPU_CORE_DS"] = "1"
+    try:
+        q1, ld1 = ll()
+    finally:
+        del os.environ["GEORGE_TPU_CORE_DS"]
+    assert abs(q1 - q0) / abs(q0) < 1e-4
+    assert abs(ld1 - ld0) / max(abs(ld0), 1.0) < 1e-4
