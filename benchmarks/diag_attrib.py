@@ -91,7 +91,11 @@ def main():
                 pair_fn, theta, xa, va, xb_, vb_, struct.remat)
         )
         M = blk(xI, vI, xJ, vJ)
-        G = H.ridge_gram(M, struct.ridge_floor)
+        # floor the ridge at f32 resolution so the f32 SOLVE below sees
+        # the regularization the production f32 path would have
+        rf = max(float(struct.ridge_floor or 0.0),
+                 float(np.sqrt(np.finfo(np.float32).eps)))
+        G = H.ridge_gram(M, rf)
 
         def ev(th, xa, xb):
             return jax.vmap(
@@ -120,6 +124,60 @@ def main():
                 Gl.astype(jnp.float32), rhs.astype(jnp.float32)
             )
             out.append((C, jnp.swapaxes(Qt32.astype(dtype), -1, -2)))
+        return out
+
+    def lowrank_f64solve(pair_fn, theta, xp, vl, struct, dtype):
+        """f32 kernel entries; ONLY the ridge interpolation solve
+        promoted to f64 (the inverse of rung C): isolates the
+        normal-equations kappa^2 amplification from entry rounding."""
+        flat = struct.flat
+        if flat is None:
+            return []
+        c = flat["c"]
+        f32 = jnp.float32
+        th32, xp32 = theta.astype(f32), xp.astype(f32)
+        rp = jnp.asarray(flat["rp_all"])
+        cp = jnp.asarray(flat["cp_all"])
+        pid = jnp.asarray(flat["pair_of_row"])
+        xI, vI = xp32[rp], vl[rp]
+        xJ, vJ = xp32[cp], vl[cp]
+        blk = jax.vmap(
+            lambda xa, va, xb_, vb_: H._block_matrix(
+                pair_fn, th32, xa, va, xb_, vb_, struct.remat)
+        )
+        M = blk(xI, vI, xJ, vJ)                     # f32 entries
+        # the f32-DEFINED ridge system (f32 lam floor!), solved
+        # accurately — emulating the DS production path; an f64-eps
+        # floor here would leave underflow-range couplings singular
+        G = H.ridge_gram(M, struct.ridge_floor).astype(jnp.float64)
+
+        def ev(th, xa, xb):
+            return jax.vmap(
+                lambda a, B: jax.vmap(lambda b: pair_fn(th, a, b))(B)
+            )(xa, xb)
+
+        def rows_eval(rows, xP, vP):
+            rows = jnp.asarray(rows)
+            xa, va = xp32[rows], vl[rows]
+            xb, vb = xP[pid], vP[pid]
+            E = ev(th32, xa, xb)
+            return jnp.where(va[:, None] & vb, E, 0.0)
+
+        C_flat = rows_eval(flat["rowsC"], xJ, vJ)
+        Rt_flat = rows_eval(flat["rowsR"], xI, vI)
+        out = []
+        ro, po = flat["row_offset"], flat["pair_offset"]
+        for li, lev in enumerate(struct.levels):
+            s, p = lev["s"], lev["p"]
+            C = C_flat[ro[li]:ro[li + 1]].reshape(p, s, c)
+            Rt = Rt_flat[ro[li]:ro[li + 1]].reshape(p, s, c)
+            Ml = M[po[li]:po[li + 1]].astype(jnp.float64)
+            Gl = G[po[li]:po[li + 1]]
+            rhs = jnp.einsum("pkc,psk->pcs", Ml,
+                             Rt.astype(jnp.float64))
+            Qt = jnp.linalg.solve(Gl, rhs)
+            out.append((C.astype(dtype),
+                        jnp.swapaxes(Qt, -1, -2).astype(dtype)))
         return out
 
     def run(tag, patch, dtype):
@@ -156,6 +214,14 @@ def main():
                        jnp.float64)
     if "D" in rungs:
         out["D"] = run("D f32/f32           ", None, jnp.float32)
+    if "F" in rungs:
+        out["F"] = run("F f64ridge/f32else  ", lowrank_f64solve,
+                       jnp.float32)
+    if "G" in rungs:
+        os.environ["GEORGE_TPU_CORE_F64"] = "1"
+        out["G"] = run("G f64ridge+f64cores ", lowrank_f64solve,
+                       jnp.float32)
+        del os.environ["GEORGE_TPU_CORE_F64"]
     if "E" in rungs:
         # the fix candidate: full f32 EXCEPT the core inverse + slogdet,
         # which run in f64 and cast back (GEORGE_TPU_CORE_F64 rung in
@@ -167,9 +233,11 @@ def main():
     if "A" in out:
         llA = out["A"][2]
         for tag, k in (("B-A (compression)", "B"),
-                       ("C-A (ridge solve)", "C"),
+                       ("C-A (f32 ridge)  ", "C"),
                        ("D-A (full f32)   ", "D"),
-                       ("E-A (f64 cores)  ", "E")):
+                       ("E-A (f64 cores)  ", "E"),
+                       ("F-A (f64 ridge)  ", "F"),
+                       ("G-A (ridge+cores)", "G")):
             if k in out:
                 d = out[k][2] - llA
                 print("%s  d_ll=%+.4f  rel=%.3e"

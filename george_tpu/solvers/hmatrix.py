@@ -571,13 +571,33 @@ class HMatrixSolver(object):
             if do_store else None
         )
 
-        def mv(Y):
+        # ---- heavy device state, threaded as explicit jit ARGUMENTS ----
+        # Closing over these inside jit embeds them as HLO *constants*:
+        # at n=1e5 2-D the stored near field alone is ~2 GB (f64), which
+        # times out XLA:CPU constant folding and breaks the axon
+        # remote-compile tunnel (measured round 4: "Broken pipe" from
+        # /remote_compile shipping the SLQ sandwich program). Passed as
+        # arguments they stay device buffers referenced by handle, with
+        # zero extra transfer (they already live on device).
+        state = {
+            "theta": theta,
+            "xpad": self._xpad,
+            "valid": self._valid,
+            "diag": self._diag_pad,
+            "far": self._far,
+            "near": self._near,
+            "pre": None,
+        }
+
+        def mv_state(st_, Y):
             return hmatrix_matvec(
-                pair, theta, self._xpad, self._valid, self._diag_pad, hs,
-                self._far, Y, near_vals=self._near,
+                pair, st_["theta"], st_["xpad"], st_["valid"],
+                st_["diag"], hs, st_["far"], Y, near_vals=st_["near"],
             )
 
-        self._mv = jax.jit(mv)
+        self._mv_state = mv_state
+        self._mv_jit = jax.jit(mv_state)
+        self._mv = lambda Y: self._mv_jit(self._state, Y)
 
         def mv_theta(th, Y):
             fac = hmatrix_compress(pair, th, self._xpad, self._valid, hs,
@@ -625,50 +645,26 @@ class HMatrixSolver(object):
                 )
             )(theta)
             sym_factors, ld_weak = self._sym
+            state["pre"] = sym_factors
 
-            def precond(R):
+            def precond_state(st_, R):
                 return hodlr_sqrt_solve(
-                    sym_factors, st,
-                    hodlr_sqrt_solve(sym_factors, st, R),
+                    st_["pre"], st,
+                    hodlr_sqrt_solve(st_["pre"], st, R),
                     transpose=True,
                 )
-
-            def solve(B):
-                return pcg_solve(
-                    self._mv, precond, B, tol=eff_tol,
-                    maxiter=self.maxiter,
-                )
-
-            self._solve = jax.jit(solve)
-            self._precond = precond
 
             # fused-likelihood sandwich parts (frozen at compute-theta;
             # the identity log det(K(th)+D) = log det(W0 W0^T) +
             # log det(W0^{-1}(K(th)+D)W0^{-T}) is exact for ANY fixed W0)
-            self._fused_whiten = lambda v: hodlr_sqrt_solve(
-                sym_factors, st, v
-            )
-            self._fused_whitenT = lambda v: hodlr_sqrt_solve(
-                sym_factors, st, v, transpose=True
-            )
-            self._fused_ld_base = float(ld_weak)
+            def whiten_state(st_, v):
+                return hodlr_sqrt_solve(st_["pre"], st, v)
 
-            # log det K = log det(W W^T) + SLQ(log det(W^-1 K W^-T))
-            def corr_mv(v):
-                return hodlr_sqrt_solve(
-                    sym_factors, st,
-                    self._mv(
-                        hodlr_sqrt_solve(sym_factors, st, v,
-                                         transpose=True)
-                    ),
-                )
+            def whitenT_state(st_, v):
+                return hodlr_sqrt_solve(st_["pre"], st, v,
+                                        transpose=True)
 
-            ld_corr = slq_logdet(
-                jax.jit(corr_mv), hs.n_pad, self._xpad.dtype,
-                jax.random.PRNGKey(self.seed),
-                num_probes=self.num_probes, num_steps=self.num_steps,
-            )
-            ld = float(ld_weak) + float(ld_corr)
+            ld_base = float(ld_weak)
         else:
             # f32 (TPU) or any d > 1: the weak cascades are unusable as
             # whiteners here — in f32 both amplify rounding into large
@@ -714,50 +710,65 @@ class HMatrixSolver(object):
 
             Q2, s2 = jax.jit(_build_nystrom)()
             self._nystrom = (Q2, s2)
-            dinv_sqrt = 1.0 / jnp.sqrt(self._diag_pad)
+            state["pre"] = (Q2, s2)
 
             @full_precision_matmuls
-            def precond(Y):
-                Yd = dinv_sqrt[:, None] * Y
-                t = Q2.T @ Yd
-                Yd = Yd - Q2 @ ((s2 / (1.0 + s2))[:, None] * t)
-                return dinv_sqrt[:, None] * Yd
-
-            def solve(B):
-                return pcg_solve(
-                    self._mv, precond, B, tol=eff_tol,
-                    maxiter=self.maxiter,
-                )
-
-            self._solve = jax.jit(solve)
-            self._precond = precond
+            def precond_state(st_, Y):
+                Q2_, s2_ = st_["pre"]
+                dis = 1.0 / jnp.sqrt(st_["diag"])
+                Yd = dis[:, None] * Y
+                t = Q2_.T @ Yd
+                Yd = Yd - Q2_ @ ((s2_ / (1.0 + s2_))[:, None] * t)
+                return dis[:, None] * Yd
 
             @full_precision_matmuls
-            def _msqrt_inv(v):
-                t = Q2.T @ v
-                return v + Q2 @ (((1.0 + s2) ** -0.5 - 1.0) * t)
-
-            def sandwich(v):
-                w = dinv_sqrt * _msqrt_inv(v)
-                return _msqrt_inv(dinv_sqrt * self._mv(w))
+            def _msqrt_inv_state(st_, v):
+                Q2_, s2_ = st_["pre"]
+                t = Q2_.T @ v
+                return v + Q2_ @ (((1.0 + s2_) ** -0.5 - 1.0) * t)
 
             # fused-likelihood sandwich parts: P = D0^{1/2} M~0 D0^{1/2}
             # frozen at compute-theta; exact for any theta
-            self._fused_whiten = lambda v: _msqrt_inv(dinv_sqrt * v)
-            self._fused_whitenT = lambda v: dinv_sqrt * _msqrt_inv(v)
-            self._fused_ld_base = float(
+            def whiten_state(st_, v):
+                return _msqrt_inv_state(
+                    st_, v / jnp.sqrt(st_["diag"])
+                )
+
+            def whitenT_state(st_, v):
+                return _msqrt_inv_state(st_, v) / jnp.sqrt(st_["diag"])
+
+            ld_base = float(
                 jnp.sum(jnp.log1p(s2)) + jnp.sum(jnp.log(self._diag_pad))
             )
 
-            ld_corr = slq_logdet(
-                jax.jit(sandwich), hs.n_pad, dtype,
-                jax.random.PRNGKey(self.seed),
+        def solve_state(st_, B):
+            return pcg_solve(
+                lambda Y: mv_state(st_, Y),
+                lambda R: precond_state(st_, R),
+                B, tol=eff_tol, maxiter=self.maxiter,
+            )
+
+        def ld_corr_state(st_):
+            # log det K = log det P + SLQ(log det(P^{-1/2} K P^{-1/2}))
+            return slq_logdet(
+                lambda v: whiten_state(
+                    st_, mv_state(st_, whitenT_state(st_, v))
+                ),
+                hs.n_pad, self._xpad.dtype, jax.random.PRNGKey(self.seed),
                 num_probes=self.num_probes, num_steps=self.num_steps,
             )
-            ld_weak = jnp.sum(jnp.log1p(s2)) + jnp.sum(
-                jnp.log(self._diag_pad)
-            )
-        ld = float(ld_weak) + float(ld_corr)
+
+        self._state = state
+        self._solve_jit = jax.jit(solve_state)
+        self._solve = lambda B: self._solve_jit(self._state, B)
+        self._precond_state = precond_state
+        self._precond = lambda R: precond_state(self._state, R)
+        self._fused_whiten = lambda v: whiten_state(state, v)
+        self._fused_whitenT = lambda v: whitenT_state(state, v)
+        self._fused_ld_base = ld_base
+
+        ld_corr = jax.jit(ld_corr_state)(state)
+        ld = ld_base + float(ld_corr)
         if not np.isfinite(ld):
             raise np.linalg.LinAlgError(
                 "H-matrix log-determinant diverged"
@@ -935,13 +946,21 @@ class HMatrixSolver(object):
         Zp = self._pad(R.T)                          # (n_pad, size)
         sqrt_fn = self._sqrt_fns.get(m)
         if sqrt_fn is None:
-            sqrt_fn = jax.jit(jax.vmap(
-                lambda b: lanczos_fn_matvec(
-                    self._mv, b, jnp.sqrt, num_steps=m
-                )
-            ))
+            mv_state = self._mv_state
+
+            def _sqrt_state(st_, Zt):
+                # state threaded as an argument (capture would embed the
+                # stored near field as a program constant — see compute)
+                return jax.vmap(
+                    lambda b: lanczos_fn_matvec(
+                        lambda Y: mv_state(st_, Y), b, jnp.sqrt,
+                        num_steps=m,
+                    )
+                )(Zt)
+
+            sqrt_fn = jax.jit(_sqrt_state)
             self._sqrt_fns[m] = sqrt_fn
-        cols = sqrt_fn(jnp.asarray(Zp.T))            # (size, n_pad)
+        cols = sqrt_fn(self._state, jnp.asarray(Zp.T))  # (size, n_pad)
         out = self._unpad(np.asarray(cols).T).T
         return out[0] if squeeze else out
 
@@ -1138,7 +1157,9 @@ class HMatrixSolver(object):
                   "_compress_fn", "_sym", "_weak", "_nystrom", "_far",
                   "_near", "_hs", "_st", "_sqrt_fns",
                   "_fused_whiten", "_fused_whitenT", "_fused_ld_base",
-                  "_xpad", "_valid", "_diag_pad", "_theta"):
+                  "_xpad", "_valid", "_diag_pad", "_theta",
+                  "_state", "_mv_state", "_mv_jit", "_solve_jit",
+                  "_precond_state"):
             state.pop(k, None)
         state["computed"] = False
         return state
