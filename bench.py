@@ -140,7 +140,19 @@ def main():
     # gradient error vs a rank-64 f64 reference (the kernel-adaptive
     # pivots buy back the accuracy the lower rank gives up). The
     # quasi-periodic variant needs rank 48 (intrinsic block rank ~35).
-    min_size = 128
+    #
+    # At very large N the f32 SMW cascade is depth-limited, not
+    # rank-limited: the T-update chain amplifies rounding with O(1) gain
+    # per level (round-4 ladder: clean at L<=11, chaotic at L=13 — CPU
+    # f32 1.3e-1, on-chip solve residual 9.0; f64-promoting the ridge or
+    # core solves does NOT fix it). Larger leaves keep the tree inside
+    # the measured-clean regime (min_size=512 -> L=10 at N=1e6: CPU f32
+    # 6.6e-3 vs 1.3e-1) and the Pallas panel Cholesky keeps the bigger
+    # leaf batches cheap.
+    min_size = int(os.environ.get(
+        "GEORGE_TPU_BENCH_MIN_SIZE",
+        512 if (n >= 500_000 and not use_f64) else 128,
+    ))
     st = build_structure(n, min_size=min_size, rank=rank, seed=42,
                          x_sorted=x)
     # kernel-adaptive skeletons (same default as HODLRSolver): tighter
@@ -261,6 +273,8 @@ def _watchdog():
     here = os.path.abspath(__file__)
     env = dict(os.environ, GEORGE_TPU_BENCH_CHILD="1")
 
+    last_text = [""]
+
     def run(cmd, timeout):
         try:
             out = subprocess.run(
@@ -272,6 +286,7 @@ def _watchdog():
             # a child can print its metric line and THEN wedge in TPU
             # client teardown over the tunnel — keep the partial output
             text = (e.stdout or b"").decode("utf-8", "replace")
+        last_text[0] = text
         for line in reversed(text.strip().splitlines()):
             if line.startswith("{") and '"metric"' in line:
                 return line
@@ -299,6 +314,20 @@ def _watchdog():
         # normal attempt (TPU if available; generous budget for a cold
         # compile of the unrolled hierarchical graph)
         line = run([sys.executable, here] + sys.argv[1:], timeout=2400)
+        if line is None and "off truth by" in last_text[0]:
+            # the ACCURACY anchor failed — that is a real measurement of
+            # the on-chip configuration, not a tunnel outage; a CPU
+            # fallback here would bury it under a misleading n=20000
+            # line. Record the failure honestly and stop.
+            detail = ""
+            for tl in last_text[0].splitlines():
+                if "off truth by" in tl:
+                    detail = tl.strip()
+            line = json.dumps({
+                "metric": "hodlr_loglik_grad_evals_per_sec",
+                "value": 0.0, "unit": "evals/s", "vs_baseline": 0.0,
+                "note": "accuracy anchor FAILED on-chip: " + detail,
+            })
     if line is None:
         sys.stderr.write(
             "bench: accelerator run failed or timed out; "
