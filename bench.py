@@ -301,8 +301,12 @@ def _watchdog():
         "print('OK', float(jax.jit(lambda a: a.sum())(jnp.ones(8))))"
     )
     try:
+        # generous budget: a degraded-but-alive tunnel can take minutes
+        # on the first dispatch (measured round 4: a 180 s probe
+        # repeatedly false-negatived and buried real chip runs under
+        # the CPU fallback)
         out = subprocess.run(
-            [sys.executable, "-c", probe], env=env, timeout=180,
+            [sys.executable, "-c", probe], env=env, timeout=420,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         alive = b"OK" in out.stdout
