@@ -513,6 +513,44 @@ def _core_inv_slogdet(core, struct):
     return core_inv, ld
 
 
+def _leaf_cholesky_chunked(pair_fn, theta, xb, vb, db, remat):
+    """Batched leaf assemble + Cholesky, HBM-chunked at large N.
+
+    Materializing every leaf gram at once costs ``B m^2`` floats and the
+    graph holds it 2-3x (the masked assembly, its remat copy, and the
+    factor) — at N=1e6 / m~1000 that alone exceeded a v5e's 16 GB HBM
+    (measured round 4: 16.94 G requested). Chunking the leaf sweep with
+    ``lax.map`` bounds the assembly temp to ``_LEAF_MATVEC_CHUNK_BYTES``
+    while the (required) Cholesky factors stream into the output; the
+    headline N=1e5 shapes (782 x 128 x 128 = 51 MB) stay un-chunked, so
+    the fast path is untouched."""
+    B, m = vb.shape
+
+    def leaf_factor(xc, vc, dc):
+        Kc = jax.vmap(
+            lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
+                                         remat)
+        )(xc, vc)
+        Kc = Kc + jax.vmap(jnp.diag)(dc)
+        # batched leaf Cholesky: Pallas panel kernel on TPU (3-5x over
+        # XLA's expansion at production leaf sizes; ops/chol.py), XLA
+        # on CPU
+        return _batched_cholesky(Kc)
+
+    chunk = _leaf_chunk(B, m, jnp.result_type(theta.dtype, xb.dtype))
+    if chunk is None:
+        return leaf_factor(xb, vb, db)
+    nc = B // chunk
+    return jax.lax.map(
+        lambda a: leaf_factor(*a),
+        (
+            xb.reshape(nc, chunk, m, -1),
+            vb.reshape(nc, chunk, m),
+            db.reshape(nc, chunk, m),
+        ),
+    ).reshape(B, m, m)
+
+
 @full_precision_matmuls
 def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     """Factorize ``K_compressed + diag`` level-by-level.
@@ -527,17 +565,12 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     B = n_pad // m
     dtype = diag_pad.dtype
 
-    # --- leaf boxes: batched assemble + Cholesky --------------------------
+    # --- leaf boxes: batched assemble + Cholesky (HBM-chunked) -----------
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
-    Kb = jax.vmap(
-        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va,
-                                     struct.remat)
-    )(xb, vb)
-    Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
-    # batched leaf Cholesky: Pallas panel kernel on TPU (3-5x over
-    # XLA's expansion at production leaf sizes; ops/chol.py), XLA on CPU
-    Lleaf = _batched_cholesky(Kb)
+    Lleaf = _leaf_cholesky_chunked(
+        pair_fn, theta, xb, vb, diag_pad.reshape(B, m), struct.remat
+    )
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
     )
@@ -1018,13 +1051,9 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
 
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
-    Kb = jax.vmap(
-        lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
-    )(xb, vb)
-    Kb = Kb + jax.vmap(jnp.diag)(diag_pad.reshape(B, m))
-    # batched leaf Cholesky: Pallas panel kernel on TPU (3-5x over
-    # XLA's expansion at production leaf sizes; ops/chol.py), XLA on CPU
-    Lleaf = _batched_cholesky(Kb)
+    Lleaf = _leaf_cholesky_chunked(
+        pair_fn, theta, xb, vb, diag_pad.reshape(B, m), struct.remat
+    )
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
     )
