@@ -185,20 +185,24 @@ def main():
     rj = jnp.asarray(r_pad)
     theta = jnp.asarray(kernel.parameter_vector, dtype=dtype)
 
-    if n <= 150_000:
-        # exact autodiff gradient: one reverse sweep of the factorization.
-        # With the Pallas leaf Cholesky and full-precision contractions
-        # this is both faster than the Hutchinson path at N=1e5 (44 ms vs
-        # 47 ms on a v5e) and free of Monte-Carlo noise.
-        def loglike(th):
-            factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
-            z = hodlr_solve(factors, st, rj)
-            return -0.5 * (
-                jnp.dot(rj, z) + logdet + n * jnp.log(2.0 * jnp.pi)
-            )
+    def make_vag():
+        # (re)build + (re)jit the evaluation under the CURRENT
+        # GEORGE_TPU_MATMUL_PRECISION — the solver sweeps read the env
+        # at trace time, so each fresh closure traces one mode
+        if n <= 150_000:
+            # exact autodiff gradient: one reverse sweep of the
+            # factorization. With the Pallas leaf Cholesky and
+            # full-precision contractions this is both faster than the
+            # Hutchinson path at N=1e5 (44 ms vs 47 ms on a v5e) and
+            # free of Monte-Carlo noise.
+            def loglike(th):
+                factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
+                z = hodlr_solve(factors, st, rj)
+                return -0.5 * (
+                    jnp.dot(rj, z) + logdet + n * jnp.log(2.0 * jnp.pi)
+                )
 
-        vag = jax.jit(jax.value_and_grad(loglike))
-    else:
+            return jax.jit(jax.value_and_grad(loglike))
         # the very-large-N regime: exact quadratic terms + Hutchinson
         # traces (the reference's own large-N gradient, Regime B
         # ``gp.py:506-562`` with nvec=10 probes) built from one
@@ -218,24 +222,58 @@ def main():
                 num_probes=8, n_real=n, refine_steps=refine,
             )
 
-        vag = jax.jit(vag_fn)
+        return jax.jit(vag_fn)
 
-    ll0, _ = vag(theta)
-    if not np.isfinite(float(ll0)):
-        raise RuntimeError("non-finite log-likelihood in benchmark")
-    anchor = _TRUTH.get((variant, n))
-    if anchor is not None:
-        # Accuracy anchor: CPU f64 truth for this exact dataset. Guards
-        # against a fast-but-wrong kernel or precision regression ever
-        # producing the headline number (measured f32 floor ~9e-4; the
-        # round-1 bf16-matmul bug this catches was 9e-2).
+    def check_anchor(ll0, tol_scale=1.0, quiet=False):
+        """Accuracy anchor: CPU f64 truth for this exact dataset. Guards
+        against a fast-but-wrong kernel or precision regression ever
+        producing the headline number (the round-1 bf16-matmul bug this
+        catches was 9e-2)."""
+        if not np.isfinite(float(ll0)):
+            raise RuntimeError("non-finite log-likelihood in benchmark")
+        anchor = _TRUTH.get((variant, n))
+        if anchor is None:
+            return True
         truth, tol = anchor
         rel = abs(float(ll0) - truth) / abs(truth)
-        if rel > tol:
+        if rel > tol * tol_scale:
+            if quiet:
+                return False
             raise RuntimeError(
                 "benchmark log-likelihood off truth by %.2e > %.0e "
                 "(ll=%.3f, truth=%.3f)" % (rel, tol, float(ll0), truth)
             )
+        return True
+
+    # Anchor-verified precision auto-tier: when the (variant, n) carries
+    # a truth anchor and the caller didn't pick a mode, first trace the
+    # sweeps in ``high`` (3-pass bf16 — the conditioning-critical blocks
+    # stay pinned to full f32 inside the solver, see
+    # utils.pinned_full_precision) and KEEP it only if it beats the
+    # anchor at 80% of tolerance; anything off falls back to ``highest``
+    # and the normal hard anchor check. A fast-but-wrong configuration
+    # can never report: the anchor gates every timed run.
+    env_mode = os.environ.get("GEORGE_TPU_MATMUL_PRECISION")
+    vag = None
+    # (restricted to the exact-gradient sizes: at N=1e6 the f32 cascade
+    # already sits near the anchor at ``highest``, so the ``high``
+    # attempt would just burn a multi-minute compile before falling back)
+    if (env_mode is None and not use_f64 and n <= 150_000
+            and (variant, n) in _TRUTH):
+        os.environ["GEORGE_TPU_MATMUL_PRECISION"] = "high"
+        try:
+            cand = make_vag()
+            ll0, _ = cand(theta)
+            if np.isfinite(float(ll0)) and check_anchor(
+                    ll0, tol_scale=0.8, quiet=True):
+                vag = cand
+        finally:
+            if vag is None:
+                os.environ.pop("GEORGE_TPU_MATMUL_PRECISION", None)
+    if vag is None:
+        vag = make_vag()
+        ll0, _ = vag(theta)
+        check_anchor(ll0)
 
     # 16 queued evaluations: samplers/optimizers pipeline far more steps
     # than this, so the residual per-dispatch overhead (<2%) is realistic

@@ -456,11 +456,17 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
         # Solve with the PROJECTED right-hand side M^T R (which lies in
         # range(M)): precomputing G^{-1} M^T and multiplying by R later is
         # mathematically identical but numerically injects ~eps/lam
-        # null-space junk.
-        rhs = _level_anchor(
-            jnp.einsum("pkc,psk->pcs", Ml, Rt), struct, p
-        )
-        Qt = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
+        # null-space junk. The projection AND the solve stay pinned to
+        # full f32 regardless of GEORGE_TPU_MATMUL_PRECISION: the ridge
+        # system sits at the eps/lambda noise floor, and relaxing it is
+        # what blew the ``high`` mode to 5.5e-2 on the N=1e5 anchor
+        # (round-4 on-chip measurement; with this pin the cascade's
+        # sweeps can legally run in ``high``).
+        with jax.default_matmul_precision("highest"):
+            rhs = _level_anchor(
+                jnp.einsum("pkc,psk->pcs", Ml, Rt), struct, p
+            )
+            Qt = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
         out.append((C, jnp.swapaxes(Qt, -1, -2)))
     return out
 

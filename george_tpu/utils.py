@@ -32,19 +32,23 @@ def full_precision_matmuls(fn):
     jit/vmap/grad/checkpoint.
 
     The mode is overridable with ``GEORGE_TPU_MATMUL_PRECISION`` for
-    experiments only: measured on the N=1e5 anchor, ``high`` (3-pass
-    bfloat16 compensation) is NOT sufficient here — the hierarchical
-    cascade amplifies the residual error to 36% log-likelihood error
-    (the ridge interpolation solves sit at the eps/lambda noise floor),
-    so ``highest`` is load-bearing and stays the default."""
+    experiments and the bench's verified fast path: ``high`` (3-pass
+    bfloat16 compensation) is legal ONLY because every conditioning-
+    critical block stays pinned to ``highest`` via
+    :func:`pinned_full_precision` (the ridge interpolation gram AND its
+    projected solve, the SMW core assembly/inversion, the leaf
+    factorization). Without the interpolation-solve pin the cascade
+    amplified ``high``'s residual error to 5.5e-2 on the N=1e5 anchor
+    (round 4, on-chip). The env var is read at CALL (trace) time, so a
+    process can trace one jitted program per mode and verify an
+    accuracy anchor before trusting the faster one (``bench.py``)."""
     import os
 
     import jax
 
-    mode = os.environ.get("GEORGE_TPU_MATMUL_PRECISION", "highest")
-
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
+        mode = os.environ.get("GEORGE_TPU_MATMUL_PRECISION", "highest")
         with jax.default_matmul_precision(mode):
             return fn(*args, **kwargs)
 
