@@ -638,17 +638,42 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
         levels_out[li] = (Zs[li], T[li], core_inv)
 
         if li > 0:
-            X = jnp.concatenate(T[:li], axis=1)
-            X = _row_anchor(
-                _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c, X,
-                                  struct.remat, struct),
-                struct,
-            )
-            if li > 1:
-                offs = list(np.cumsum([t.shape[1] for t in T[:li]]))[:-1]
-                T[:li] = list(jnp.split(X, offs, axis=1))
+            # Ancestor update: this level's inverse hits ALL coarser
+            # levels' factors. One wide concatenated application is the
+            # dispatch-optimal form (L x fewer calls, wider matmuls for
+            # the MXU) — but the concat temps are (n_pad, c*li) and the
+            # scheduler keeps several alive across the level loop: at
+            # N=1e6 / L=10 they alone held ~2.1 G of HBM (7 live copies
+            # of the width-60 mid-sweep update, measured round 4). Past
+            # the width budget, apply in width-bounded groups instead:
+            # same FLOPs/traffic, bounded liveness.
+            width = c * li
+            itemsize = jnp.dtype(diag_pad.dtype).itemsize
+            if n_pad * width * itemsize <= _ANCESTOR_UPDATE_BYTES:
+                groups = [list(range(li))]
             else:
-                T[0] = X
+                per = max(1, _ANCESTOR_UPDATE_BYTES
+                          // (n_pad * c * itemsize))
+                groups = [
+                    list(range(j, min(j + per, li)))
+                    for j in range(0, li, per)
+                ]
+            for grp in groups:
+                X = (T[grp[0]] if len(grp) == 1
+                     else jnp.concatenate([T[j] for j in grp], axis=1))
+                X = _row_anchor(
+                    _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c,
+                                      X, struct.remat, struct),
+                    struct,
+                )
+                if len(grp) == 1:
+                    T[grp[0]] = X
+                else:
+                    offs = list(np.cumsum(
+                        [T[j].shape[1] for j in grp]
+                    ))[:-1]
+                    for j, piece in zip(grp, jnp.split(X, offs, axis=1)):
+                        T[j] = piece
 
     factors = {"Lleaf": Lleaf, "levels": levels_out}
     return factors, logdet
@@ -845,8 +870,18 @@ def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
 # (refinement residual + jacfwd tangents), so XLA keeps multiple remat
 # copies live — chunking the leaf sweep with lax.map bounds each copy.
 # The matvec is HBM-bandwidth-bound (k << m), so serializing chunks
-# costs nothing measurable.
-_LEAF_MATVEC_CHUNK_BYTES = 128 * 1024 * 1024
+# costs nothing measurable. 64 MB (not 128): the N=1e6 min_size=512
+# factor graph missed the v5e's HBM by just 21 MB with 128 MB chunks
+# (round 4) — the live set holds ~3 chunk-sized temps, and the N=1e5
+# headline leaf sweep (51 MB) stays un-chunked either way.
+_LEAF_MATVEC_CHUNK_BYTES = 64 * 1024 * 1024
+
+# Width budget (bytes) for one concatenated ancestor-update application
+# in the factor sweep: the N=1e5 headline (width 120 -> 48 MB) keeps the
+# single wide dispatch; the N=1e6 graph (width 120 -> 480 MB) splits
+# into width-bounded groups so the scheduler can't hold multi-GB of
+# mid-sweep update temps live (measured round 4: ~2.1 G at L=10).
+_ANCESTOR_UPDATE_BYTES = 96 * 1024 * 1024
 
 
 def _leaf_chunk(B, m, dtype):

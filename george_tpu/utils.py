@@ -32,16 +32,17 @@ def full_precision_matmuls(fn):
     jit/vmap/grad/checkpoint.
 
     The mode is overridable with ``GEORGE_TPU_MATMUL_PRECISION`` for
-    experiments and the bench's verified fast path: ``high`` (3-pass
-    bfloat16 compensation) is legal ONLY because every conditioning-
-    critical block stays pinned to ``highest`` via
-    :func:`pinned_full_precision` (the ridge interpolation gram AND its
-    projected solve, the SMW core assembly/inversion, the leaf
-    factorization). Without the interpolation-solve pin the cascade
-    amplified ``high``'s residual error to 5.5e-2 on the N=1e5 anchor
-    (round 4, on-chip). The env var is read at CALL (trace) time, so a
-    process can trace one jitted program per mode and verify an
-    accuracy anchor before trusting the faster one (``bench.py``)."""
+    experiments only — the lever is measured DEAD on a v5e: ``high``
+    (3-pass bfloat16 compensation) with every conditioning-critical
+    block pinned to ``highest`` via :func:`pinned_full_precision` (the
+    ridge interpolation gram AND its projected solve, the SMW core
+    assembly/inversion, the leaf factorization) still lands 1.51e-3 off
+    the N=1e5 anchor AND times 18.5 evals/s vs 23.7 at ``highest``
+    (round-4 on-chip pair) — at skeleton rank ~12 the sweeps are
+    bandwidth/overhead-bound, not MXU-pass-bound. Without the
+    interpolation-solve pin ``high`` is catastrophically wrong (5.5e-2).
+    The env var is read at CALL (trace) time, so one process can trace
+    and compare both modes."""
     import os
 
     import jax

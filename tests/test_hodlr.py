@@ -308,6 +308,24 @@ def test_hutchinson_loglike_and_grad_function():
     assert np.isclose(float(ll_h), float(ll_c), rtol=1e-12)
     assert np.allclose(np.asarray(g_h), np.asarray(g_c), rtol=1e-8)
 
+    # the width-bounded ancestor-update grouping (the other half of the
+    # N=1e6 HBM fix) must be bit-identical to the single wide
+    # application: _factor_apply_inv acts on RHS columns independently,
+    # so grouping only changes concat boundaries
+    saved_w = hodlr_mod._ANCESTOR_UPDATE_BYTES
+    try:
+        itemsize = np.dtype(xpad.dtype).itemsize
+        # one level's width per group
+        hodlr_mod._ANCESTOR_UPDATE_BYTES = st.n_pad * st.rank * itemsize
+        ll_g, g_g = hodlr_loglike_and_grad_hutchinson(
+            pair, theta, xj, vj, dj, rj, st, jax.random.PRNGKey(0),
+            num_probes=48, n_real=len(x),
+        )
+    finally:
+        hodlr_mod._ANCESTOR_UPDATE_BYTES = saved_w
+    assert np.isclose(float(ll_h), float(ll_g), rtol=1e-12)
+    assert np.allclose(np.asarray(g_h), np.asarray(g_g), rtol=1e-8)
+
 
 def test_matvec_factors_parity_and_refined_hutchinson():
     """``hodlr_matvec_factors`` (the assembly-free compressed matvec
