@@ -358,6 +358,20 @@ def _watchdog():
                 "value": 0.0, "unit": "evals/s", "vs_baseline": 0.0,
                 "note": "accuracy anchor FAILED on-chip: " + detail,
             })
+        if line is None and "Ran out of memory in memory space" in (
+                last_text[0]):
+            # likewise an HBM OOM is a real property of the shipping
+            # graph at this N on this chip, not an outage (round 4: two
+            # 1e6 OOMs were mis-recorded as "accelerator unreachable")
+            detail = ""
+            for tl in last_text[0].splitlines():
+                if "Ran out of memory in memory space" in tl:
+                    detail = tl.strip()[-120:]
+            line = json.dumps({
+                "metric": "hodlr_loglik_grad_evals_per_sec",
+                "value": 0.0, "unit": "evals/s", "vs_baseline": 0.0,
+                "note": "HBM OOM on-chip: " + detail,
+            })
     if line is None:
         sys.stderr.write(
             "bench: accelerator run failed or timed out; "

@@ -876,6 +876,12 @@ def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
 # headline leaf sweep (51 MB) stays un-chunked either way.
 _LEAF_MATVEC_CHUNK_BYTES = 64 * 1024 * 1024
 
+# Above this padded size the fused Hutchinson gradient streams its
+# theta-basis tangents sequentially (lax.map over a linearized matvec)
+# instead of one vectorized jacfwd batch — the batch multiplies the
+# skeleton-assembly temps by n_params (round-4 N=1e6 OOM).
+_JACFWD_VECTORIZE_MAX_NPAD = 300_000
+
 # Width budget (bytes) for one concatenated ancestor-update application
 # in the factor sweep: the N=1e5 headline (width 120 -> 48 MB) keeps the
 # single wide dispatch; the N=1e6 graph (width 120 -> 480 MB) splits
@@ -1052,14 +1058,30 @@ def hodlr_loglike_and_grad_hutchinson(
             include_diag=False,
         )
 
-    # One batched forward pass for every theta direction at once
-    # (jacfwd vmaps the jvp over the basis tangents): the low-rank
-    # assembly is traced once with a trailing tangent batch instead of
-    # re-sweeping per parameter. dK_av: (n_pad, 1 + P, T).
-    dK_av = jax.jacfwd(mv)(theta)
-    quad_terms = 0.5 * jnp.einsum("i,ik->k", alpha, dK_av[:, 0, :])
+    T = theta.shape[0]
+    if struct.n_pad <= _JACFWD_VECTORIZE_MAX_NPAD:
+        # One batched forward pass for every theta direction at once
+        # (jacfwd vmaps the jvp over the basis tangents): the low-rank
+        # assembly is traced once with a trailing tangent batch instead
+        # of re-sweeping per parameter. dK_av: (n_pad, 1 + P, T).
+        dK_av = jax.jacfwd(mv)(theta)
+        quad_terms = 0.5 * jnp.einsum("i,ik->k", alpha, dK_av[:, 0, :])
+        trace_terms = 0.5 * jnp.mean(
+            jnp.einsum("ip,ipk->pk", Kinv_u, dK_av[:, 1:, :]), axis=0
+        )
+        return ll, quad_terms - trace_terms
+    # Very large N: the vectorized tangent batch multiplies the
+    # all-levels skeleton-factor temps (5 n_pad x c here) by T — at
+    # N=1e6 / T=4 that batch alone held 1.19 G of HBM on top of ~2 G of
+    # primal/remat copies (round-4 OOM dump). Linearize the matvec ONCE
+    # (primal assembly shared) and stream the basis tangents through
+    # ``lax.map``: one tangent's temps live at a time, same math.
+    _, f_jvp = jax.linearize(mv, theta)
+    eyeT = jnp.eye(T, dtype=theta.dtype)
+    dK_av_t = jax.lax.map(f_jvp, eyeT)          # (T, n_pad, 1 + P)
+    quad_terms = 0.5 * jnp.einsum("i,ti->t", alpha, dK_av_t[:, :, 0])
     trace_terms = 0.5 * jnp.mean(
-        jnp.einsum("ip,ipk->pk", Kinv_u, dK_av[:, 1:, :]), axis=0
+        jnp.einsum("ip,tip->tp", Kinv_u, dK_av_t[:, :, 1:]), axis=1
     )
     return ll, quad_terms - trace_terms
 
