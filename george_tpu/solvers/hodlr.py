@@ -547,14 +547,26 @@ def _leaf_cholesky_chunked(pair_fn, theta, xb, vb, db, remat):
     if chunk is None:
         return leaf_factor(xb, vb, db)
     nc = B // chunk
-    return jax.lax.map(
-        lambda a: leaf_factor(*a),
-        (
-            xb.reshape(nc, chunk, m, -1),
-            vb.reshape(nc, chunk, m),
-            db.reshape(nc, chunk, m),
-        ),
-    ).reshape(B, m, m)
+    # scan with an in-place carry, NOT lax.map: the map's stacked
+    # (nc, chunk, m, m) output lived ALONGSIDE its (B, m, m) reshape —
+    # two 3.84 G buffers at N=1e6 (round-4 OOM dump). The
+    # dynamic-update-slice on a loop carry aliases one output buffer.
+    xc = xb.reshape(nc, chunk, m, -1)
+    vc = vb.reshape(nc, chunk, m)
+    dc = db.reshape(nc, chunk, m)
+
+    def body(out, i):
+        Lc = leaf_factor(xc[i], vc[i], dc[i])
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, Lc, i * chunk, axis=0
+        ), None
+
+    out0 = jnp.zeros(
+        (B, m, m),
+        dtype=jnp.result_type(theta.dtype, xb.dtype, db.dtype),
+    )
+    out, _ = jax.lax.scan(body, out0, jnp.arange(nc))
+    return out
 
 
 @full_precision_matmuls
