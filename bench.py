@@ -216,13 +216,39 @@ def main():
         # while one matvec+resolve step brings it back under the anchor
         refine = 0 if use_f64 else 1
 
-        def vag_fn(th):
+        if n <= 300_000:
+            def vag_fn(th):
+                return hodlr_loglike_and_grad_hutchinson(
+                    pair, th, xj, vj, dj, rj, st, key,
+                    num_probes=8, n_real=n, refine_steps=refine,
+                )
+
+            return jax.jit(vag_fn)
+
+        # N=1e6 class: ONE fused program (factor + solves + gradient)
+        # needs ~16.4 G HBM against the v5e's 15.75 G however its temps
+        # are chunked (round-4 OOM ladder). Two programs bound the peak
+        # at max(factor, remainder) instead of the sum; the factor
+        # pytree moves between them as device arguments and is DONATED
+        # to the second program so both copies never coexist.
+        fac_jit = jax.jit(
+            lambda th: hodlr_factor(pair, th, xj, vj, dj, st)
+        )
+
+        def rest_fn(th, factors, logdet):
             return hodlr_loglike_and_grad_hutchinson(
                 pair, th, xj, vj, dj, rj, st, key,
                 num_probes=8, n_real=n, refine_steps=refine,
+                factors_logdet=(factors, logdet),
             )
 
-        return jax.jit(vag_fn)
+        rest_jit = jax.jit(rest_fn, donate_argnums=(1,))
+
+        def vag_fn(th):
+            factors, logdet = fac_jit(th)
+            return rest_jit(th, factors, logdet)
+
+        return vag_fn
 
     def check_anchor(ll0, tol_scale=1.0, quiet=False):
         """Accuracy anchor: CPU f64 truth for this exact dataset. Guards

@@ -976,7 +976,7 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
 @full_precision_matmuls
 def hodlr_loglike_and_grad_hutchinson(
     pair_fn, theta, xpad, valid, diag_pad, r_pad, struct, key,
-    num_probes=16, n_real=None, refine_steps=0,
+    num_probes=16, n_real=None, refine_steps=0, factors_logdet=None,
 ):
     """Log-likelihood + gradient without reverse-mode through the sweep.
 
@@ -992,11 +992,24 @@ def hodlr_loglike_and_grad_hutchinson(
     ``jax.jvp`` of the compressed matvec (the analogue of the reference's
     per-parameter gradient trees, ``_hodlr.cpp:171-191``). Memory: one
     factorization + (1 + num_probes) solves.
+
+    ``factors_logdet``: optionally pass a precomputed
+    ``(factors, logdet)`` from :func:`hodlr_factor` and skip the in-graph
+    factorization. At N=1e6 the SINGLE fused program (factor + solves +
+    streamed-tangent gradient) needs ~16.4 G of HBM against a v5e's
+    15.75 G no matter how its temps are chunked (round 4: four OOM
+    compiles within 0.3-1.2 G of the limit) — jitting the factorization
+    and this remainder as TWO programs, with the factor pytree threaded
+    between them as device arguments (donate it!), bounds each program's
+    peak instead of their sum.
     """
     n = struct.n if n_real is None else n_real
-    factors, logdet = hodlr_factor(
-        pair_fn, theta, xpad, valid, diag_pad, struct
-    )
+    if factors_logdet is not None:
+        factors, logdet = factors_logdet
+    else:
+        factors, logdet = hodlr_factor(
+            pair_fn, theta, xpad, valid, diag_pad, struct
+        )
     probes = jax.random.rademacher(
         key, (struct.n_pad, num_probes), dtype=r_pad.dtype
     )

@@ -341,6 +341,16 @@ def test_hutchinson_loglike_and_grad_function():
     assert np.isclose(float(ll_h), float(ll_s), rtol=1e-12)
     assert np.allclose(np.asarray(g_h), np.asarray(g_s), rtol=1e-6)
 
+    # the two-program split (precomputed factors threaded in as
+    # arguments — bench.py's N=1e6 HBM form) is the same computation
+    f_pre = hodlr_factor(pair, theta, xj, vj, dj, st)
+    ll_2, g_2 = hodlr_loglike_and_grad_hutchinson(
+        pair, theta, xj, vj, dj, rj, st, jax.random.PRNGKey(0),
+        num_probes=48, n_real=len(x), factors_logdet=f_pre,
+    )
+    assert np.isclose(float(ll_h), float(ll_2), rtol=1e-12)
+    assert np.allclose(np.asarray(g_h), np.asarray(g_2), rtol=1e-8)
+
 
 def test_matvec_factors_parity_and_refined_hutchinson():
     """``hodlr_matvec_factors`` (the assembly-free compressed matvec
