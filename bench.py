@@ -229,24 +229,29 @@ def main():
         # needs ~16.4 G HBM against the v5e's 15.75 G however its temps
         # are chunked (round-4 OOM ladder). Two programs bound the peak
         # at max(factor, remainder) instead of the sum; the factor
-        # pytree moves between them as device arguments and is DONATED
-        # to the second program so both copies never coexist.
+        # pytree AND the data arrays move between them as device
+        # ARGUMENTS — a closed-over device array becomes an MLIR
+        # constant at lowering time, which both bloats the proto over
+        # the remote-compile tunnel and forces a device->host fetch
+        # mid-trace (measured: RESOURCE_EXHAUSTED at rest-trace time
+        # with the factors resident).
         fac_jit = jax.jit(
-            lambda th: hodlr_factor(pair, th, xj, vj, dj, st)
+            lambda th, x_, v_, d_: hodlr_factor(pair, th, x_, v_, d_,
+                                                st)
         )
 
-        def rest_fn(th, factors, logdet):
+        def rest_fn(th, x_, v_, d_, r_, factors, logdet):
             return hodlr_loglike_and_grad_hutchinson(
-                pair, th, xj, vj, dj, rj, st, key,
+                pair, th, x_, v_, d_, r_, st, key,
                 num_probes=8, n_real=n, refine_steps=refine,
                 factors_logdet=(factors, logdet),
             )
 
-        rest_jit = jax.jit(rest_fn, donate_argnums=(1,))
+        rest_jit = jax.jit(rest_fn)
 
         def vag_fn(th):
-            factors, logdet = fac_jit(th)
-            return rest_jit(th, factors, logdet)
+            factors, logdet = fac_jit(th, xj, vj, dj)
+            return rest_jit(th, xj, vj, dj, rj, factors, logdet)
 
         return vag_fn
 
