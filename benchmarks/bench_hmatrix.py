@@ -134,6 +134,7 @@ def main():
         _ = float(gp.solver.dot_solve(yk))
         times.append(time.perf_counter() - t0)
     out["solve_sec"] = round(min(times), 4)
+    out["cg_iters"] = getattr(gp.solver, "last_cg_iters", None)
 
     # --- weak-partition head-to-head at the same rank -------------------
     if args.skip_weak:

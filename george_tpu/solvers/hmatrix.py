@@ -81,7 +81,7 @@ class HMatrixStructure(object):
     """
 
     def __init__(self, n, x_sorted, min_size=64, rank=16, eta=1.0,
-                 seed=42):
+                 seed=42, rank_growth="auto"):
         self.n = int(n)
         self.eta = float(eta)
         self.seed = int(seed)
@@ -94,6 +94,21 @@ class HMatrixStructure(object):
         self.rank = min(int(rank), self.m)
         B = 1 << L
         self.B = B
+        # Depth-aware interaction rank: a far pair at depth ``d`` couples
+        # boxes of side ~ 2^((L-d)/dim) leaf sides; for smooth kernels the
+        # interaction rank scales with the box BOUNDARY measure,
+        # ~ side^(dim-1) = 2^((L-d)(dim-1)/dim) — constant in 1-D but
+        # growing toward the root in d >= 2 (this is exactly why a fixed
+        # rank 16 measured 1.6e-3 at n=4000 but 6.3e-2 at n=16000 in
+        # round 4: deeper trees put more of the coupling energy in coarse
+        # pairs the fixed rank starves). ``rank_growth`` is the per-level
+        # factor; "auto" applies the boundary law for the data's
+        # dimension. The coarse levels hold exponentially FEWER pairs, so
+        # the extra rank costs little compute.
+        dim = np.asarray(x_sorted).reshape(len(x_sorted), -1).shape[1]
+        if rank_growth == "auto":
+            rank_growth = 2.0 ** ((dim - 1) / float(max(dim, 1)))
+        self.rank_growth = float(rank_growth)
 
         x = np.asarray(x_sorted, dtype=np.float64)
         if x.ndim == 1:
@@ -168,7 +183,9 @@ class HMatrixStructure(object):
             if not far[d]:
                 continue
             s = self.n_pad >> d
-            c = min(self.rank, s)
+            # boundary-law depth-aware rank (see the ctor comment)
+            c = int(round(self.rank * self.rank_growth ** (L - d)))
+            c = int(min(max(c, 1), s))
             if d not in self.piv:
                 xb = xpad.reshape(1 << d, s, -1)
                 vb = valid.reshape(1 << d, s)
@@ -477,10 +494,15 @@ class HMatrixSolver(object):
                  maxiter=200, num_probes=16, num_steps=12, seed=42,
                  sort=True, verbose=False, store_near="auto",
                  store_near_budget=2 << 30, tol_abs=None,
-                 grad_deflation_rank="auto", **kwargs):
+                 grad_deflation_rank="auto", rank_growth="auto",
+                 **kwargs):
         self.kernel = kernel
         self.min_size = int(min_size)
         self.rank = int(rank)
+        # per-level far-rank growth toward the root; "auto" = the
+        # boundary law 2^((dim-1)/dim) (1 in 1-D, sqrt(2) in 2-D) — see
+        # HMatrixStructure
+        self.rank_growth = rank_growth
         self.precond_rank = (
             4 * self.rank if precond_rank is None else int(precond_rank)
         )
@@ -523,7 +545,7 @@ class HMatrixSolver(object):
         xs = x[self._perm]
         hs = HMatrixStructure(
             n, x_geom[self._perm], min_size=self.min_size, rank=self.rank,
-            eta=self.eta, seed=self.seed,
+            eta=self.eta, seed=self.seed, rank_growth=self.rank_growth,
         )
         self._hs = hs
 
@@ -908,12 +930,14 @@ class HMatrixSolver(object):
         return out
 
     def apply_inverse(self, y, in_place=False):
-        z, _ = self._solve(self._pad(y))
+        z, iters = self._solve(self._pad(y))
+        self.last_cg_iters = int(iters)
         return self._unpad(z)
 
     def dot_solve(self, y):
         yp = self._pad(y)
-        z, _ = self._solve(yp)
+        z, iters = self._solve(yp)
+        self.last_cg_iters = int(iters)
         return float(jnp.dot(yp, z))
 
     def apply_forward(self, y, i=0):

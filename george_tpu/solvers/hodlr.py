@@ -1098,12 +1098,19 @@ def hodlr_loglike_and_grad_hutchinson(
     # Very large N: the vectorized tangent batch multiplies the
     # all-levels skeleton-factor temps (5 n_pad x c here) by T — at
     # N=1e6 / T=4 that batch alone held 1.19 G of HBM on top of ~2 G of
-    # primal/remat copies (round-4 OOM dump). Linearize the matvec ONCE
-    # (primal assembly shared) and stream the basis tangents through
-    # ``lax.map``: one tangent's temps live at a time, same math.
-    _, f_jvp = jax.linearize(mv, theta)
+    # primal/remat copies (round-4 OOM dump). Stream the basis tangents
+    # through ``lax.map`` and RE-LINEARIZE inside the mapped body:
+    # ``jax.linearize`` outside the loop would store the linearization
+    # residuals — including the full (B, m, m) leaf grams, 2 x 3.8 G at
+    # N=1e6/m=977 (round-5 OOM dump: XLA kept a compressed AND an
+    # uncompressed copy) — for the whole sweep. Recomputing the primal
+    # per tangent costs T-1 extra assembly passes (~ms each, the leaf
+    # assembly is compute-cheap) and bounds live temps at one tangent's
+    # chunk.
     eyeT = jnp.eye(T, dtype=theta.dtype)
-    dK_av_t = jax.lax.map(f_jvp, eyeT)          # (T, n_pad, 1 + P)
+    dK_av_t = jax.lax.map(
+        lambda e: jax.jvp(mv, (theta,), (e,))[1], eyeT
+    )                                           # (T, n_pad, 1 + P)
     quad_terms = 0.5 * jnp.einsum("i,ti->t", alpha, dK_av_t[:, :, 0])
     trace_terms = 0.5 * jnp.mean(
         jnp.einsum("ip,tip->tp", Kinv_u, dK_av_t[:, :, 1:]), axis=1
@@ -1139,6 +1146,10 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
 
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
+    # struct.remat gates leaf-assembly rematerialization exactly as on
+    # the non-symmetric path: small problems (remat=False) keep the
+    # cheaper non-recomputing reverse mode; large-N problems recompute.
+    # (Before round 4 this path always remat'd — the gate is deliberate.)
     Lleaf = _leaf_cholesky_chunked(
         pair_fn, theta, xb, vb, diag_pad.reshape(B, m), struct.remat
     )

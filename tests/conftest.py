@@ -25,7 +25,7 @@ jax.config.update("jax_enable_x64", True)
 
 # ---------------------------------------------------------------------------
 # Slow-test marking (central, tuned from `pytest --durations`): the fast
-# developer loop is `pytest -m "not slow"` (~8 min); CI and release runs
+# developer loop is `pytest -m "not slow"` (~9-12 min depending on host load); CI and release runs
 # execute everything. Keep this list in sync when a test's cost changes
 # materially — entries are exact test names (parametrized variants all
 # match by base name).
