@@ -490,7 +490,7 @@ class HMatrixSolver(object):
     matrix_free = True
 
     def __init__(self, kernel, min_size=64, rank=16, eta=1.0,
-                 precond_rank=None, nystrom_rank=256, cg_tol=1e-10,
+                 precond_rank=None, nystrom_rank="auto", cg_tol=1e-10,
                  maxiter=200, num_probes=16, num_steps=12, seed=42,
                  sort=True, verbose=False, store_near="auto",
                  store_near_budget=2 << 30, tol_abs=None,
@@ -506,7 +506,17 @@ class HMatrixSolver(object):
         self.precond_rank = (
             4 * self.rank if precond_rank is None else int(precond_rank)
         )
-        self.nystrom_rank = int(nystrom_rank)
+        # "auto" resolves to min(n_pad, 4096, max(256, n_pad // 8)) at
+        # compute time: the SLQ logdet bias is governed by how much of
+        # the kernel's effective rank the whitener captures, and in
+        # d >= 2 that rank grows with n (measured at n=16000 2-D:
+        # nystrom 256 left a +1615-nat logdet bias / 7e-2 ll error with
+        # CG at maxiter; 1024 -> 5 nats; 2048 -> 0.01 nats and CG in 7
+        # iterations). The 4096 cap bounds the basis QR's memory
+        # (n_pad x R) on a single chip.
+        self.nystrom_rank = (
+            nystrom_rank if nystrom_rank == "auto" else int(nystrom_rank)
+        )
         self.eta = float(eta)
         self.cg_tol = float(cg_tol)
         self.maxiter = int(maxiter)
@@ -706,7 +716,12 @@ class HMatrixSolver(object):
             import jax.scipy.linalg as jsl
 
             dtype = self._xpad.dtype
-            R = min(self.nystrom_rank, hs.n_pad)
+            R = (
+                min(hs.n_pad, 4096, max(256, hs.n_pad // 8))
+                if self.nystrom_rank == "auto"
+                else min(self.nystrom_rank, hs.n_pad)
+            )
+            self.nystrom_rank_effective = R
             piv = _fps_pivots(
                 np.asarray(self._xpad)[None], np.asarray(self._valid)[None],
                 R, np.random.default_rng(self.seed),

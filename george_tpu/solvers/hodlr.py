@@ -402,7 +402,11 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     floor keeps exactly-zero couplings (fully-padded siblings,
     underflow-range blocks) at 0 instead of NaN.
 
-    Returns ``[(C, Q), ...]`` per level, each ``(p, s, c)``.
+    Returns ``[(Ct, Qt), ...]`` per level, each TRANSPOSED ``(c, p, s)``
+    — the pivot-slot axis leads so the long row axis stays minor (the
+    ``(p, s, c)`` layout padded c=12 lanes to 128 on TPU: the flat
+    assembly arrays alone cost 2 x 2.6 G for 2 x 0.25 G of data at
+    N=1e6; round-5 OOM dump).
     """
     flat = struct.flat
     if flat is None:
@@ -422,10 +426,13 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
     M = blk(xI, vI, xJ, vJ)                     # (P, c, c)
     G = ridge_gram(M, struct.ridge_floor)
 
-    def ev(theta, xa, xb):
+    def ev(theta, xa, xbT):
+        # xa (T, d), xbT (c, T, d) -> (c, T): pivot-slot axis OUTER
         return jax.vmap(
-            lambda a, B: jax.vmap(lambda b: pair_fn(theta, a, b))(B)
-        )(xa, xb)
+            lambda xbj: jax.vmap(
+                lambda a, b: pair_fn(theta, a, b)
+            )(xa, xbj)
+        )(xbT)
 
     if remat:
         ev = jax.checkpoint(ev)
@@ -434,22 +441,22 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
         rows = jnp.asarray(rows)
         xa, va = xpad[rows], valid[rows]        # (T, d), (T,)
         xb, vb = xP[pid], vP[pid]               # (T, c, d), (T, c)
-        E = ev(theta, xa, xb)
-        return jnp.where(va[:, None] & vb, E, 0.0)
+        E = ev(theta, xa, jnp.moveaxis(xb, 1, 0))
+        return jnp.where(va[None, :] & jnp.moveaxis(vb, 1, 0), E, 0.0)
 
-    C_flat = rows_eval(flat["rowsC"], xJ, vJ)   # (T, c) rows of K[left, J]
+    C_flat = rows_eval(flat["rowsC"], xJ, vJ)   # (c, T): K[left, J] cols
     # kernel symmetry: K[I, right]^T rows are K(x_right_row, x_I)
-    Rt_flat = rows_eval(flat["rowsR"], xI, vI)  # (T, c)
+    Rt_flat = rows_eval(flat["rowsR"], xI, vI)  # (c, T)
 
     out = []
     ro, po = flat["row_offset"], flat["pair_offset"]
     for li, lev in enumerate(struct.levels):
         s, p = lev["s"], lev["p"]
-        C = _level_anchor(
-            C_flat[ro[li]:ro[li + 1]].reshape(p, s, c), struct, p
+        Ct = _level_anchor_t(
+            C_flat[:, ro[li]:ro[li + 1]].reshape(c, p, s), struct, p
         )
-        Rt = _level_anchor(
-            Rt_flat[ro[li]:ro[li + 1]].reshape(p, s, c), struct, p
+        Rt = _level_anchor_t(
+            Rt_flat[:, ro[li]:ro[li + 1]].reshape(c, p, s), struct, p
         )
         Ml = _level_anchor(M[po[li]:po[li + 1]], struct, p)
         Gl = G[po[li]:po[li + 1]]
@@ -464,10 +471,10 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
         # sweeps can legally run in ``high``).
         with jax.default_matmul_precision("highest"):
             rhs = _level_anchor(
-                jnp.einsum("pkc,psk->pcs", Ml, Rt), struct, p
+                jnp.einsum("pkc,kps->pcs", Ml, Rt), struct, p
             )
-            Qt = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
-        out.append((C, jnp.swapaxes(Qt, -1, -2)))
+            Qsol = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
+        out.append((Ct, jnp.moveaxis(Qsol, 1, 0)))   # (c, p, s) each
     return out
 
 
@@ -574,10 +581,12 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     """Factorize ``K_compressed + diag`` level-by-level.
 
     Returns ``(factors, logdet)`` where ``factors`` is a pytree:
-    ``{"Lleaf": (B, m, m), "levels": [(Z, T, core_inv), ...]}`` with ``Z``
-    the raw and ``T`` the finer-inverse-applied low-rank factors in full-row
-    layout ``(n_pad, c_l)``, and ``core_inv`` the batched inverted SMW
-    cores ``(p_l, 2c_l, 2c_l)``.
+    ``{"Lleaf": (B, m, m), "levels": [(Zt, Tt, core_inv), ...]}`` with
+    ``Zt`` the raw and ``Tt`` the finer-inverse-applied low-rank factors
+    TRANSPOSED — ``(c_l, n_pad)``, long row axis minor, so the c=12-ish
+    lane dimension never pads to 128 (the row-major layout cost 10.7x
+    HBM/bandwidth on TPU; round-5 OOM dump) — and ``core_inv`` the
+    batched inverted SMW cores ``(p_l, 2c_l, 2c_l)``.
     """
     n_pad, m, L = struct.n_pad, struct.m, struct.L
     B = n_pad // m
@@ -593,23 +602,20 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
         jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
     )
 
-    def leaf_solve(X):
-        Y = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1))
-        return Y.reshape(X.shape)
-
     # --- raw skeleton factors, all levels assembled in one batch ---------
     Zs = []
-    for lev, (C, Q) in zip(
+    for lev, (Ct, Qt) in zip(
         struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
                                     dtype)
     ):
-        Z = _row_anchor(
-            _level_anchor(
-                jnp.stack([C, Q], axis=1), struct, lev["p"]
-            ).reshape(n_pad, lev["c"]),
+        # (c, p, s) halves -> transposed full-row layout (c, n_pad)
+        Zt = _row_anchor_t(
+            _level_anchor_t(
+                jnp.stack([Ct, Qt], axis=2), struct, lev["p"],
+            ).reshape(lev["c"], n_pad),
             struct,
         )
-        Zs.append(Z)
+        Zs.append(Zt)
 
     # --- upward sweep: factor each level, update coarser left factors -----
     # The reference updates every ancestor's U factors one node at a time
@@ -617,24 +623,26 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     # levels' factors as one concatenated multi-RHS application — L x fewer
     # dispatches and wider matmuls for the MXU.
     if L:
-        widths = [Z.shape[1] for Z in Zs]
-        Tcat = _row_anchor(leaf_solve(jnp.concatenate(Zs, axis=1)), struct)
+        widths = [Zt.shape[0] for Zt in Zs]
+        Tcat = _row_anchor_t(
+            _leaf_solve_t(Lleaf, jnp.concatenate(Zs, axis=0)), struct
+        )
         splits = list(np.cumsum(widths))[:-1]
-        T = list(jnp.split(Tcat, splits, axis=1))
+        T = list(jnp.split(Tcat, splits, axis=0))
     else:
         T = []
     levels_out = [None] * L
     for li in range(L - 1, -1, -1):   # li = level index (0 = root split)
         lev = struct.levels[li]
         s, p, c = lev["s"], lev["p"], lev["c"]
-        Zb = _level_anchor(Zs[li].reshape(p, 2, s, c), struct, p)
-        Tb = _level_anchor(T[li].reshape(p, 2, s, c), struct, p)
-        P, Q = Zb[:, 0], Zb[:, 1]
-        Pt, Qt_ = Tb[:, 0], Tb[:, 1]
+        Zb = _level_anchor_t(Zs[li].reshape(c, p, 2, s), struct, p)
+        Tb = _level_anchor_t(T[li].reshape(c, p, 2, s), struct, p)
+        P, Q = Zb[:, :, 0], Zb[:, :, 1]                  # (c, p, s)
+        Pt, Qt_ = Tb[:, :, 0], Tb[:, :, 1]
         # SMW core assembly/inversion feeds the logdet: always full f32
         with jax.default_matmul_precision("highest"):
-            upper = jnp.einsum("psc,psd->pcd", Q, Qt_)      # Q^T Qtilde
-            lower = jnp.einsum("psc,psd->pcd", P, Pt)       # P^T Ptilde
+            upper = jnp.einsum("cps,dps->pcd", Q, Qt_)      # Q^T Qtilde
+            lower = jnp.einsum("cps,dps->pcd", P, Pt)       # P^T Ptilde
             eye = jnp.eye(c, dtype=dtype)
             zero = jnp.zeros((p, c, c), dtype=dtype)
             core = jnp.concatenate(
@@ -653,7 +661,7 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
             # Ancestor update: this level's inverse hits ALL coarser
             # levels' factors. One wide concatenated application is the
             # dispatch-optimal form (L x fewer calls, wider matmuls for
-            # the MXU) — but the concat temps are (n_pad, c*li) and the
+            # the MXU) — but the concat temps are (c*li, n_pad) and the
             # scheduler keeps several alive across the level loop: at
             # N=1e6 / L=10 they alone held ~2.1 G of HBM (7 live copies
             # of the width-60 mid-sweep update, measured round 4). Past
@@ -672,8 +680,8 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
                 ]
             for grp in groups:
                 X = (T[grp[0]] if len(grp) == 1
-                     else jnp.concatenate([T[j] for j in grp], axis=1))
-                X = _row_anchor(
+                     else jnp.concatenate([T[j] for j in grp], axis=0))
+                X = _row_anchor_t(
                     _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c,
                                       X, struct.remat, struct),
                     struct,
@@ -682,9 +690,9 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
                     T[grp[0]] = X
                 else:
                     offs = list(np.cumsum(
-                        [T[j].shape[1] for j in grp]
+                        [T[j].shape[0] for j in grp]
                     ))[:-1]
-                    for j, piece in zip(grp, jnp.split(X, offs, axis=1)):
+                    for j, piece in zip(grp, jnp.split(X, offs, axis=0)):
                         T[j] = piece
 
     factors = {"Lleaf": Lleaf, "levels": levels_out}
@@ -724,64 +732,123 @@ def _level_anchor(arr, struct, nblk):
     )
 
 
-def _factor_apply_inv(Z, T, core_inv, p, s, c, X, remat=True,
+def _row_anchor_t(X, struct):
+    """Transposed-layout twin of :func:`_row_anchor`: the padded-row axis
+    is LAST (``(..., n_pad)``), so pin the row sharding there."""
+    if getattr(struct, "mesh", None) is None:
+        return X
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*([None] * (X.ndim - 1)), struct.shard_axis)
+    return jax.lax.with_sharding_constraint(
+        X, NamedSharding(struct.mesh, spec)
+    )
+
+
+def _level_anchor_t(arr, struct, nblk, block_axis=1):
+    """Transposed-layout twin of :func:`_level_anchor` for blocked views
+    ``(c, p, 2, s)`` / ``(k, p, 2, s)`` whose sibling-pair axis sits at
+    ``block_axis``."""
+    if getattr(struct, "mesh", None) is None:
+        return arr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = int(np.prod(list(struct.mesh.shape.values())))
+    spec = [None] * arr.ndim
+    if nblk % ndev == 0:
+        spec[block_axis] = struct.shard_axis
+    return jax.lax.with_sharding_constraint(
+        arr, NamedSharding(struct.mesh, P(*spec))
+    )
+
+
+def _leaf_solve_t(Lleaf, Xt):
+    """``(L L^T)^{-1}`` applied to transposed multi-RHS ``Xt (k, n_pad)``.
+
+    Works on right-side triangular solves so every buffer keeps the LONG
+    axis minor: ``X^T (L L^T)^{-1} = (X^T L^{-T}) L^{-1}``. The
+    row-layout form reshaped RHS to ``(B, m, k)`` whose minor ``k`` (1-9
+    in the solve/gradient paths) pads to 128 lanes on TPU — a 14-128x
+    bandwidth/HBM tax on every leaf solve at large N (round-5 OOM dump:
+    dozens of 244 MB buffers holding 23 MB of data)."""
+    B, m, _ = Lleaf.shape
+    k = Xt.shape[0]
+    Xb = Xt.reshape(k, B, m).transpose(1, 0, 2)          # (B, k, m)
+    z1 = jax.lax.linalg.triangular_solve(
+        Lleaf, Xb, left_side=False, lower=True, transpose_a=True
+    )                                                    # X^T L^{-T}
+    z2 = jax.lax.linalg.triangular_solve(
+        Lleaf, z1, left_side=False, lower=True, transpose_a=False
+    )                                                    # ... L^{-1}
+    return z2.transpose(1, 0, 2).reshape(k, B * m)
+
+
+def _factor_apply_inv(Zt, Tt, core_inv, p, s, c, Xt, remat=True,
                       struct=None):
-    """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to ``X``
-    ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
+    """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to transposed
+    ``Xt (k, n_pad)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
+
+    All level factors live TRANSPOSED — ``Zt/Tt (c, n_pad)`` — so every
+    large operand keeps the long row axis minor: the row-major
+    ``(n_pad, c)`` layout padded c=12 lanes to 128 on TPU (10.7x HBM and
+    bandwidth; round-5 OOM dump), which both blew the N=1e6 remainder
+    program past HBM and dominated the SMW sweep's 17 ms at N=1e5.
     With ``remat`` each application recomputes in the backward pass,
     trading negligible FLOPs for the O(L^2) chain of stored
     intermediates at large N."""
 
-    def apply(Z, T, core_inv, X):
-        k = X.shape[-1]
-        Xb = X.reshape(p, 2, s, k)
-        Zb = Z.reshape(p, 2, s, c)
-        Tb = T.reshape(p, 2, s, c)
+    def apply(Zt, Tt, core_inv, Xt):
+        k = Xt.shape[0]
+        Xb = Xt.reshape(k, p, 2, s)
+        Zb = Zt.reshape(c, p, 2, s)
+        Tb = Tt.reshape(c, p, 2, s)
         if struct is not None:
-            Xb = _level_anchor(Xb, struct, p)
-            Zb = _level_anchor(Zb, struct, p)
-            Tb = _level_anchor(Tb, struct, p)
-        top = jnp.einsum("psc,psk->pck", Zb[:, 1], Xb[:, 1])  # Q^T X_r
-        bot = jnp.einsum("psc,psk->pck", Zb[:, 0], Xb[:, 0])  # P^T X_l
+            Xb = _level_anchor_t(Xb, struct, p)
+            Zb = _level_anchor_t(Zb, struct, p)
+            Tb = _level_anchor_t(Tb, struct, p)
+        top = jnp.einsum("cps,kps->pck", Zb[:, :, 1], Xb[:, :, 1])
+        bot = jnp.einsum("cps,kps->pck", Zb[:, :, 0], Xb[:, :, 0])
         y = jnp.einsum(
             "pcd,pdk->pck", core_inv, jnp.concatenate([top, bot], axis=1)
         )
-        dx_l = jnp.einsum("psc,pck->psk", Tb[:, 0], y[:, :c])
-        dx_r = jnp.einsum("psc,pck->psk", Tb[:, 1], y[:, c:])
-        out = Xb - jnp.stack([dx_l, dx_r], axis=1)
-        return out.reshape(X.shape)
+        dx_l = jnp.einsum("cps,pck->kps", Tb[:, :, 0], y[:, :c])
+        dx_r = jnp.einsum("cps,pck->kps", Tb[:, :, 1], y[:, c:])
+        out = Xb - jnp.stack([dx_l, dx_r], axis=2)
+        return out.reshape(Xt.shape)
 
     if remat:
         apply = jax.checkpoint(apply)
-    return apply(Z, T, core_inv, X)
+    return apply(Zt, Tt, core_inv, Xt)
+
+
+@full_precision_matmuls
+def _solve_t(factors, struct, Xt):
+    """``(K^{-1} X)^T`` on transposed multi-RHS ``Xt (k, n_pad)``:
+    ``D^{-1}`` then ``F_L^{-1} ... F_1^{-1}`` (finest first)."""
+    Xt = _row_anchor_t(_leaf_solve_t(factors["Lleaf"], Xt), struct)
+    for li in range(struct.L - 1, -1, -1):
+        lev = struct.levels[li]
+        Zt, Tt, core_inv = factors["levels"][li]
+        Xt = _row_anchor_t(
+            _factor_apply_inv(
+                Zt, Tt, core_inv, lev["p"], lev["s"], lev["c"], Xt,
+                struct.remat, struct,
+            ),
+            struct,
+        )
+    return Xt
 
 
 @full_precision_matmuls
 def hodlr_solve(factors, struct, X):
     """``K^{-1} X`` through the factor cascade: ``D^{-1}`` then
-    ``F_L^{-1} ... F_1^{-1}`` (finest first)."""
-    Lleaf = factors["Lleaf"]
-    B, m, _ = Lleaf.shape
+    ``F_L^{-1} ... F_1^{-1}`` (finest first). ``X``: ``(n_pad,)`` or
+    ``(n_pad, k)`` (row layout at the public boundary; the cascade runs
+    transposed internally — see :func:`_factor_apply_inv`)."""
     squeeze = X.ndim == 1
-    if squeeze:
-        X = X[:, None]
-    X = _row_anchor(
-        jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1)).reshape(
-            X.shape
-        ),
-        struct,
-    )
-    for li in range(struct.L - 1, -1, -1):
-        lev = struct.levels[li]
-        Z, T, core_inv = factors["levels"][li]
-        X = _row_anchor(
-            _factor_apply_inv(
-                Z, T, core_inv, lev["p"], lev["s"], lev["c"], X,
-                struct.remat, struct,
-            ),
-            struct,
-        )
-    return X[:, 0] if squeeze else X
+    Xt = X[None, :] if squeeze else X.T
+    Xt = _solve_t(factors, struct, Xt)
+    return Xt[0] if squeeze else Xt.T
 
 
 @full_precision_matmuls
@@ -799,29 +866,36 @@ def hodlr_matvec_factors(factors, struct, X):
     i.e. the same rounding class as a fresh assembly) and the raw
     skeleton factors ``Z = [C, Q]`` per level. Only valid for the
     non-symmetric cascade's factor pytree."""
+    squeeze = X.ndim == 1
+    Xt = X[None, :] if squeeze else X.T
+    Yt = _matvec_factors_t(factors, struct, Xt)
+    return Yt[0] if squeeze else Yt.T
+
+
+@full_precision_matmuls
+def _matvec_factors_t(factors, struct, Xt):
+    """Transposed core of :func:`hodlr_matvec_factors`:
+    ``Xt (k, n_pad) -> ((K_bar + diag) X)^T``."""
     Lleaf = factors["Lleaf"]
     B, m, _ = Lleaf.shape
-    squeeze = X.ndim == 1
-    if squeeze:
-        X = X[:, None]
-    k = X.shape[-1]
-    Xb = X.reshape(B, m, k)
-    Y = jnp.einsum(
-        "bij,bjk->bik", Lleaf,
-        jnp.einsum("bji,bjk->bik", Lleaf, Xb),
-    ).reshape(X.shape)
+    k = Xt.shape[0]
+    # X^T K_leaf = (X^T L) L^T per leaf box, long axis minor throughout
+    Xb = Xt.reshape(k, B, m).transpose(1, 0, 2)          # (B, k, m)
+    t1 = jnp.einsum("bkm,bmn->bkn", Xb, Lleaf)
+    Yb = jnp.einsum("bkn,bjn->bkj", t1, Lleaf)
+    Yt = Yb.transpose(1, 0, 2).reshape(k, B * m)
     for li, lev in enumerate(struct.levels):
         s, p, c = lev["s"], lev["p"], lev["c"]
-        Z = factors["levels"][li][0]
-        Zb = Z.reshape(p, 2, s, c)
-        C, Q = Zb[:, 0], Zb[:, 1]
-        Xl = X.reshape(p, 2, s, k)
-        qx = jnp.einsum("psc,psk->pck", Q, Xl[:, 1])
-        px = jnp.einsum("psc,psk->pck", C, Xl[:, 0])
-        add_l = jnp.einsum("psc,pck->psk", C, qx)
-        add_r = jnp.einsum("psc,pck->psk", Q, px)
-        Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
-    return Y[:, 0] if squeeze else Y
+        Zt = factors["levels"][li][0]
+        Zb = Zt.reshape(c, p, 2, s)
+        Ct, Qt = Zb[:, :, 0], Zb[:, :, 1]                # (c, p, s)
+        Xl = Xt.reshape(k, p, 2, s)
+        qx = jnp.einsum("cps,kps->pck", Qt, Xl[:, :, 1])
+        px = jnp.einsum("cps,kps->pck", Ct, Xl[:, :, 0])
+        add_l = jnp.einsum("cps,pck->kps", Ct, qx)
+        add_r = jnp.einsum("cps,pck->kps", Qt, px)
+        Yt = Yt + jnp.stack([add_l, add_r], axis=2).reshape(Yt.shape)
+    return Yt
 
 
 @full_precision_matmuls
@@ -854,26 +928,25 @@ def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
     wherever the cascade is good.
     """
     squeeze = X.ndim == 1
-    if squeeze:
-        X = X[:, None]
-    Z = hodlr_solve(factors, struct, X)
+    Xt = X[None, :] if squeeze else X.T
+    Z = _solve_t(factors, struct, Xt)
 
     def mv(V):
         # the compressed operator straight from the factors (no kernel
         # re-assembly): refinement's extra cost drops from ~2 full
         # assembly passes per step to a few bandwidth-bound matmuls
-        return hodlr_matvec_factors(factors, struct, V)
+        return _matvec_factors_t(factors, struct, V)
 
-    R = X - mv(Z)
+    R = Xt - mv(Z)
     for _ in range(steps):
-        D = hodlr_solve(factors, struct, R)
+        D = _solve_t(factors, struct, R)
         KD = mv(D)
-        w = jnp.sum(R * KD, axis=0) / jnp.maximum(
-            jnp.sum(KD * KD, axis=0), jnp.finfo(X.dtype).tiny
+        w = jnp.sum(R * KD, axis=1) / jnp.maximum(
+            jnp.sum(KD * KD, axis=1), jnp.finfo(X.dtype).tiny
         )
-        Z = Z + w[None, :] * D
-        R = R - w[None, :] * KD
-    return Z[:, 0] if squeeze else Z
+        Z = Z + w[:, None] * D
+        R = R - w[:, None] * KD
+    return Z[0] if squeeze else Z.T
 
 
 # HBM budget for one materialized chunk of leaf gram blocks inside
@@ -920,17 +993,26 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
     """Structured matvec with the *compressed* matrix ``K_bar (+ diag)``
     (reference ``apply_forward``, ``hodlr.h:242-259``): batched leaf-block
     matmuls plus per-level low-rank couplings — O(N r log N)."""
+    squeeze = X.ndim == 1
+    Xt = X[None, :] if squeeze else X.T
+    Yt = _matvec_t(pair_fn, theta, xpad, valid, diag_pad, struct, Xt,
+                   include_diag)
+    return Yt[0] if squeeze else Yt.T
+
+
+@full_precision_matmuls
+def _matvec_t(pair_fn, theta, xpad, valid, diag_pad, struct, Xt,
+              include_diag=True):
+    """Transposed core of :func:`hodlr_matvec`: ``Xt (k, n_pad)`` with
+    the long row axis minor throughout (see :func:`_factor_apply_inv`)."""
     n_pad, m = struct.n_pad, struct.m
     B = n_pad // m
-    squeeze = X.ndim == 1
-    if squeeze:
-        X = X[:, None]
-    k = X.shape[-1]
+    k = Xt.shape[0]
 
     xb = xpad.reshape(B, m, -1)
     vb = valid.reshape(B, m)
     db = diag_pad.reshape(B, m)
-    Xl = X.reshape(B, m, k)
+    Xl = Xt.reshape(k, B, m).transpose(1, 0, 2)          # (B, k, m)
 
     def leaf_apply(xc, vc, dc, Xc):
         Kc = jax.vmap(
@@ -938,39 +1020,41 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
         )(xc, vc)
         if include_diag:
             Kc = Kc + jax.vmap(jnp.diag)(dc)
-        return jnp.einsum("bij,bjk->bik", Kc, Xc)
+        # X^T K (K symmetric): contract the row index, minor stays long
+        return jnp.einsum("bki,bij->bkj", Xc, Kc)
 
     # size the HBM budget from the materialized leaf-gram dtype (theta x
     # xpad), not the probe dtype: mixed-precision calls (f32 probes on an
     # f64-built kernel) would otherwise under-count by 2x
     chunk = _leaf_chunk(B, m, jnp.result_type(theta.dtype, xpad.dtype))
     if chunk is None:
-        Y = leaf_apply(xb, vb, db, Xl).reshape(X.shape)
+        Yb = leaf_apply(xb, vb, db, Xl)
     else:
         nc = B // chunk
-        Y = jax.lax.map(
+        Yb = jax.lax.map(
             lambda a: leaf_apply(*a),
             (
                 xb.reshape(nc, chunk, m, -1),
                 vb.reshape(nc, chunk, m),
                 db.reshape(nc, chunk, m),
-                Xl.reshape(nc, chunk, m, k),
+                Xl.reshape(nc, chunk, k, m),
             ),
-        ).reshape(X.shape)
+        ).reshape(B, k, m)
+    Yt = Yb.transpose(1, 0, 2).reshape(k, n_pad)
 
-    for lev, (C, Q) in zip(
+    for lev, (Ct, Qt) in zip(
         struct.levels,
         _all_lowrank(pair_fn, theta, xpad, valid, struct, diag_pad.dtype),
     ):
         s, p, c = lev["s"], lev["p"], lev["c"]
-        Xb = X.reshape(p, 2, s, k)
+        Xb = Xt.reshape(k, p, 2, s)
         # left rows += P (Q^T x_right); right rows += Q (P^T x_left)
-        qx = jnp.einsum("psc,psk->pck", Q, Xb[:, 1])
-        px = jnp.einsum("psc,psk->pck", C, Xb[:, 0])
-        add_l = jnp.einsum("psc,pck->psk", C, qx)
-        add_r = jnp.einsum("psc,pck->psk", Q, px)
-        Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
-    return Y[:, 0] if squeeze else Y
+        qx = jnp.einsum("cps,kps->pck", Qt, Xb[:, :, 1])
+        px = jnp.einsum("cps,kps->pck", Ct, Xb[:, :, 0])
+        add_l = jnp.einsum("cps,pck->kps", Ct, qx)
+        add_r = jnp.einsum("cps,pck->kps", Qt, px)
+        Yt = Yt + jnp.stack([add_l, add_r], axis=2).reshape(Yt.shape)
+    return Yt
 
 
 @full_precision_matmuls
@@ -1010,11 +1094,15 @@ def hodlr_loglike_and_grad_hutchinson(
         factors, logdet = hodlr_factor(
             pair_fn, theta, xpad, valid, diag_pad, struct
         )
+    # transposed throughout: multi-RHS batches are (k, n_pad), long row
+    # axis minor (see _factor_apply_inv — the row-major layout padded
+    # the k<=9 lane dim to 128 on TPU, 14x HBM/bandwidth on every
+    # solve/matvec buffer here)
     probes = jax.random.rademacher(
-        key, (struct.n_pad, num_probes), dtype=r_pad.dtype
+        key, (num_probes, struct.n_pad), dtype=r_pad.dtype
     )
-    probes = probes * valid[:, None]
-    rhs = jnp.concatenate([r_pad[:, None], probes], axis=1)
+    probes = probes * valid[None, :]
+    rhs = jnp.concatenate([r_pad[None, :], probes], axis=0)
     if refine_steps:
         # f32 at very large N: the cascade's CONSTRUCTION error moves
         # both halves of the likelihood (measured on-chip at N=1e6:
@@ -1042,78 +1130,75 @@ def hodlr_loglike_and_grad_hutchinson(
         # a 1.3e-1 ll error into 1.3e+0 there), so the correction is
         # gated on the measured residual ratio and degrades to the
         # uncorrected logdet outside its validity regime.
-        sol0 = hodlr_solve(factors, struct, rhs)
-        R0 = rhs - hodlr_matvec_factors(factors, struct, sol0)
-        trE = -jnp.mean(jnp.sum(probes * R0[:, 1:], axis=0))
+        sol0 = _solve_t(factors, struct, rhs)
+        R0 = rhs - _matvec_factors_t(factors, struct, sol0)
+        trE = -jnp.mean(jnp.sum(probes * R0[1:], axis=1))
         rho2 = jnp.mean(
-            jnp.sum(R0[:, 1:] ** 2, axis=0)
-            / jnp.maximum(jnp.sum(probes**2, axis=0), 1.0)
+            jnp.sum(R0[1:] ** 2, axis=1)
+            / jnp.maximum(jnp.sum(probes**2, axis=1), 1.0)
         )
         sol = sol0
         R = R0
         trE2 = None
         for _ in range(refine_steps):
-            D = hodlr_solve(factors, struct, R)
-            KD = hodlr_matvec_factors(factors, struct, D)
+            D = _solve_t(factors, struct, R)
+            KD = _matvec_factors_t(factors, struct, D)
             if trE2 is None:
                 # E u = -r_u, E(E u) = r_u - K_bar D_u: second-order
                 # trace term free from the first refinement step
                 trE2 = jnp.mean(
-                    jnp.sum(probes * (R0 - KD)[:, 1:], axis=0)
+                    jnp.sum(probes * (R0 - KD)[1:], axis=1)
                 )
-            w = jnp.sum(R * KD, axis=0) / jnp.maximum(
-                jnp.sum(KD * KD, axis=0), jnp.finfo(rhs.dtype).tiny
+            w = jnp.sum(R * KD, axis=1) / jnp.maximum(
+                jnp.sum(KD * KD, axis=1), jnp.finfo(rhs.dtype).tiny
             )
-            sol = sol + w[None, :] * D
-            R = R - w[None, :] * KD
+            sol = sol + w[:, None] * D
+            R = R - w[:, None] * KD
         logdet = logdet + jnp.where(
             rho2 < 0.25, trE - 0.5 * trE2, 0.0
         )
     else:
-        sol = hodlr_solve(factors, struct, rhs)
-    alpha, Kinv_u = sol[:, 0], sol[:, 1:]
+        sol = _solve_t(factors, struct, rhs)
+    alpha, Kinv_u = sol[0], sol[1:]
     quad = jnp.dot(r_pad, alpha)
     ll = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
-    av = jnp.concatenate([alpha[:, None], probes], axis=1)
+    av = jnp.concatenate([alpha[None, :], probes], axis=0)
 
     def mv(th):
-        return hodlr_matvec(
+        return _matvec_t(
             pair_fn, th, xpad, valid, diag_pad, struct, av,
             include_diag=False,
         )
 
     T = theta.shape[0]
+    eyeT = jnp.eye(T, dtype=theta.dtype)
     if struct.n_pad <= _JACFWD_VECTORIZE_MAX_NPAD:
         # One batched forward pass for every theta direction at once
-        # (jacfwd vmaps the jvp over the basis tangents): the low-rank
-        # assembly is traced once with a trailing tangent batch instead
-        # of re-sweeping per parameter. dK_av: (n_pad, 1 + P, T).
-        dK_av = jax.jacfwd(mv)(theta)
-        quad_terms = 0.5 * jnp.einsum("i,ik->k", alpha, dK_av[:, 0, :])
-        trace_terms = 0.5 * jnp.mean(
-            jnp.einsum("ip,ipk->pk", Kinv_u, dK_av[:, 1:, :]), axis=0
-        )
-        return ll, quad_terms - trace_terms
-    # Very large N: the vectorized tangent batch multiplies the
-    # all-levels skeleton-factor temps (5 n_pad x c here) by T — at
-    # N=1e6 / T=4 that batch alone held 1.19 G of HBM on top of ~2 G of
-    # primal/remat copies (round-4 OOM dump). Stream the basis tangents
-    # through ``lax.map`` and RE-LINEARIZE inside the mapped body:
-    # ``jax.linearize`` outside the loop would store the linearization
-    # residuals — including the full (B, m, m) leaf grams, 2 x 3.8 G at
-    # N=1e6/m=977 (round-5 OOM dump: XLA kept a compressed AND an
-    # uncompressed copy) — for the whole sweep. Recomputing the primal
-    # per tangent costs T-1 extra assembly passes (~ms each, the leaf
-    # assembly is compute-cheap) and bounds live temps at one tangent's
-    # chunk.
-    eyeT = jnp.eye(T, dtype=theta.dtype)
-    dK_av_t = jax.lax.map(
-        lambda e: jax.jvp(mv, (theta,), (e,))[1], eyeT
-    )                                           # (T, n_pad, 1 + P)
-    quad_terms = 0.5 * jnp.einsum("i,ti->t", alpha, dK_av_t[:, :, 0])
+        # (vmapped jvp over the basis tangents, tangent axis FIRST so
+        # the long row axis stays minor — jacfwd would put the T axis
+        # last, padding it to 128 lanes). dK_av_t: (T, 1 + P, n_pad).
+        dK_av_t = jax.vmap(
+            lambda e: jax.jvp(mv, (theta,), (e,))[1]
+        )(eyeT)
+    else:
+        # Very large N: the vectorized tangent batch multiplies the
+        # all-levels skeleton-factor temps by T — at N=1e6 / T=4 that
+        # batch alone held 1.19 G of HBM on top of ~2 G of primal/remat
+        # copies (round-4 OOM dump). Stream the basis tangents through
+        # ``lax.map`` and RE-LINEARIZE inside the mapped body:
+        # ``jax.linearize`` outside the loop would store the
+        # linearization residuals — including the full (B, m, m) leaf
+        # grams, 2 x 3.8 G at N=1e6/m=977 (round-5 OOM dump: XLA kept a
+        # compressed AND an uncompressed copy) — for the whole sweep.
+        # Recomputing the primal per tangent costs T-1 extra assembly
+        # passes (~ms each) and bounds live temps at one tangent's chunk.
+        dK_av_t = jax.lax.map(
+            lambda e: jax.jvp(mv, (theta,), (e,))[1], eyeT
+        )                                       # (T, 1 + P, n_pad)
+    quad_terms = 0.5 * jnp.einsum("i,ti->t", alpha, dK_av_t[:, 0, :])
     trace_terms = 0.5 * jnp.mean(
-        jnp.einsum("ip,tip->tp", Kinv_u, dK_av_t[:, :, 1:]), axis=1
+        jnp.einsum("pi,tpi->tp", Kinv_u, dK_av_t[:, 1:, :]), axis=1
     )
     return ll, quad_terms - trace_terms
 
@@ -1166,11 +1251,16 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
         return jax.vmap(one)(Lleaf, X.reshape(B, m, -1)).reshape(X.shape)
 
     Us, Vs = [], []
-    for lev, (C, Q) in zip(
+    for lev, (Ct, Qt) in zip(
         struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
                                     dtype)
     ):
         c = lev["c"]
+        # _all_lowrank returns transposed (c, p, s) halves; the symmetric
+        # cascade keeps its original row layout (it is not the large-N
+        # hot path), so convert here
+        C = jnp.moveaxis(Ct, 0, 2)                       # (p, s, c)
+        Q = jnp.moveaxis(Qt, 0, 2)
         # full-row layout: U rows live on left blocks, V rows on right
         U = jnp.stack([C, jnp.zeros_like(Q)], axis=1).reshape(n_pad, c)
         V = jnp.stack([jnp.zeros_like(C), Q], axis=1).reshape(n_pad, c)
