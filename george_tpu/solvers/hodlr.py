@@ -89,6 +89,14 @@ class HODLRStructure(object):
         # rematerialize reverse-mode intermediates only when they would
         # threaten HBM; smaller problems skip the backward recompute
         self.remat = self.n > 300_000
+        # cascade layout: TRANSPOSED — skeleton factors (c, n_pad) and
+        # multi-RHS (k, n_pad), long row axis minor — above the same
+        # threshold. Transposed is what fits the N=1e6 split in HBM
+        # (row-major pads the c~12 lane dim to 128: 10.7x; round-5 OOM
+        # dump), but XLA's reverse-mode through the transposed sweep
+        # measured 2.2x slower at N=1e5 (vag 58 ms vs 43 ms on a v5e),
+        # so the exact-autodiff regime keeps the row layout.
+        self.transposed = self.n > 300_000
         # optional data-parallel anchors (set by the solver when its
         # inputs are mesh-sharded): full-row-layout arrays are pinned to
         # row sharding at each level boundary so GSPMD never falls back
@@ -388,7 +396,7 @@ def ridge_gram(M, ridge_floor=None):
     return G + lam[..., None] * jnp.eye(c, dtype=dtype)
 
 
-def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
+def _all_lowrank_t(pair_fn, theta, xpad, valid, struct, dtype):
     """Skeleton (CUR) factors for EVERY level's sibling couplings, with
     the kernel-entry assembly and the interpolation solves batched over
     all levels at once (one fused op instead of 3L per-level calls).
@@ -476,6 +484,384 @@ def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
             Qsol = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
         out.append((Ct, jnp.moveaxis(Qsol, 1, 0)))   # (c, p, s) each
     return out
+
+
+
+
+# ---------------------------------------------------------------------------
+# Row-major cascade (small/medium N: XLA's reverse mode through the
+# row layout measured 2.2x faster than transposed at N=1e5 on a v5e;
+# see HODLRStructure.transposed)
+# ---------------------------------------------------------------------------
+
+def _all_lowrank(pair_fn, theta, xpad, valid, struct, dtype):
+    """Layout-dispatching skeleton factors (see the _t/_row variants)."""
+    fn = _all_lowrank_t if struct.transposed else _all_lowrank_row
+    return fn(pair_fn, theta, xpad, valid, struct, dtype)
+
+
+def _all_lowrank_row(pair_fn, theta, xpad, valid, struct, dtype):
+    """Skeleton (CUR) factors for EVERY level's sibling couplings, with
+    the kernel-entry assembly and the interpolation solves batched over
+    all levels at once (one fused op instead of 3L per-level calls).
+
+    Per pair, ``A12 ~= C @ Q^T``: ``C = K[left, J]`` sampled columns and
+    ``Q = K[I, right]^T M G^{-1}`` the ridge-regularized interpolant —
+    a differentiable, static-shape stand-in for adaptive ACA
+    (``hodlr.h:303-680``). The ridge acts as a smooth truncated
+    pseudo-inverse (couplings are often numerically rank-deficient; a QR
+    triangular solve would amplify the null directions) and its absolute
+    floor keeps exactly-zero couplings (fully-padded siblings,
+    underflow-range blocks) at 0 instead of NaN.
+
+    Returns ``[(C, Q), ...]`` per level, each ``(p, s, c)``.
+    """
+    flat = struct.flat
+    if flat is None:
+        return []
+    c = flat["c"]
+    rp = jnp.asarray(flat["rp_all"])
+    cp = jnp.asarray(flat["cp_all"])
+    pid = jnp.asarray(flat["pair_of_row"])
+    xI, vI = xpad[rp], valid[rp]                # (P, c, d), (P, c)
+    xJ, vJ = xpad[cp], valid[cp]
+
+    remat = struct.remat
+    blk = jax.vmap(
+        lambda xa, va, xb_, vb_: _block_matrix(pair_fn, theta, xa, va,
+                                               xb_, vb_, remat)
+    )
+    M = blk(xI, vI, xJ, vJ)                     # (P, c, c)
+    G = ridge_gram(M, struct.ridge_floor)
+
+    def ev(theta, xa, xb):
+        return jax.vmap(
+            lambda a, B: jax.vmap(lambda b: pair_fn(theta, a, b))(B)
+        )(xa, xb)
+
+    if remat:
+        ev = jax.checkpoint(ev)
+
+    def rows_eval(rows, xP, vP):
+        rows = jnp.asarray(rows)
+        xa, va = xpad[rows], valid[rows]        # (T, d), (T,)
+        xb, vb = xP[pid], vP[pid]               # (T, c, d), (T, c)
+        E = ev(theta, xa, xb)
+        return jnp.where(va[:, None] & vb, E, 0.0)
+
+    C_flat = rows_eval(flat["rowsC"], xJ, vJ)   # (T, c) rows of K[left, J]
+    # kernel symmetry: K[I, right]^T rows are K(x_right_row, x_I)
+    Rt_flat = rows_eval(flat["rowsR"], xI, vI)  # (T, c)
+
+    out = []
+    ro, po = flat["row_offset"], flat["pair_offset"]
+    for li, lev in enumerate(struct.levels):
+        s, p = lev["s"], lev["p"]
+        C = _level_anchor(
+            C_flat[ro[li]:ro[li + 1]].reshape(p, s, c), struct, p
+        )
+        Rt = _level_anchor(
+            Rt_flat[ro[li]:ro[li + 1]].reshape(p, s, c), struct, p
+        )
+        Ml = _level_anchor(M[po[li]:po[li + 1]], struct, p)
+        Gl = G[po[li]:po[li + 1]]
+        # Solve with the PROJECTED right-hand side M^T R (which lies in
+        # range(M)): precomputing G^{-1} M^T and multiplying by R later is
+        # mathematically identical but numerically injects ~eps/lam
+        # null-space junk. The projection AND the solve stay pinned to
+        # full f32 regardless of GEORGE_TPU_MATMUL_PRECISION: the ridge
+        # system sits at the eps/lambda noise floor, and relaxing it is
+        # what blew the ``high`` mode to 5.5e-2 on the N=1e5 anchor
+        # (round-4 on-chip measurement; with this pin the cascade's
+        # sweeps can legally run in ``high``).
+        with jax.default_matmul_precision("highest"):
+            rhs = _level_anchor(
+                jnp.einsum("pkc,psk->pcs", Ml, Rt), struct, p
+            )
+            Qt = jnp.linalg.solve(_level_anchor(Gl, struct, p), rhs)
+        out.append((C, jnp.swapaxes(Qt, -1, -2)))
+    return out
+
+
+def _factor_apply_inv_row(Z, T, core_inv, p, s, c, X, remat=True,
+                      struct=None):
+    """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to ``X``
+    ``(n_pad, k)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
+    With ``remat`` each application recomputes in the backward pass,
+    trading negligible FLOPs for the O(L^2) chain of stored
+    intermediates at large N."""
+
+    def apply(Z, T, core_inv, X):
+        k = X.shape[-1]
+        Xb = X.reshape(p, 2, s, k)
+        Zb = Z.reshape(p, 2, s, c)
+        Tb = T.reshape(p, 2, s, c)
+        if struct is not None:
+            Xb = _level_anchor(Xb, struct, p)
+            Zb = _level_anchor(Zb, struct, p)
+            Tb = _level_anchor(Tb, struct, p)
+        top = jnp.einsum("psc,psk->pck", Zb[:, 1], Xb[:, 1])  # Q^T X_r
+        bot = jnp.einsum("psc,psk->pck", Zb[:, 0], Xb[:, 0])  # P^T X_l
+        y = jnp.einsum(
+            "pcd,pdk->pck", core_inv, jnp.concatenate([top, bot], axis=1)
+        )
+        dx_l = jnp.einsum("psc,pck->psk", Tb[:, 0], y[:, :c])
+        dx_r = jnp.einsum("psc,pck->psk", Tb[:, 1], y[:, c:])
+        out = Xb - jnp.stack([dx_l, dx_r], axis=1)
+        return out.reshape(X.shape)
+
+    if remat:
+        apply = jax.checkpoint(apply)
+    return apply(Z, T, core_inv, X)
+
+
+@full_precision_matmuls
+def _hodlr_factor_row(pair_fn, theta, xpad, valid, diag_pad, struct):
+    """Factorize ``K_compressed + diag`` level-by-level.
+
+    Returns ``(factors, logdet)`` where ``factors`` is a pytree:
+    ``{"Lleaf": (B, m, m), "levels": [(Z, T, core_inv), ...]}`` with ``Z``
+    the raw and ``T`` the finer-inverse-applied low-rank factors in full-row
+    layout ``(n_pad, c_l)``, and ``core_inv`` the batched inverted SMW
+    cores ``(p_l, 2c_l, 2c_l)``.
+    """
+    n_pad, m, L = struct.n_pad, struct.m, struct.L
+    B = n_pad // m
+    dtype = diag_pad.dtype
+
+    # --- leaf boxes: batched assemble + Cholesky (HBM-chunked) -----------
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+    Lleaf = _leaf_cholesky_chunked(
+        pair_fn, theta, xb, vb, diag_pad.reshape(B, m), struct.remat
+    )
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(Lleaf, axis1=-2, axis2=-1))
+    )
+
+    def leaf_solve(X):
+        Y = jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1))
+        return Y.reshape(X.shape)
+
+    # --- raw skeleton factors, all levels assembled in one batch ---------
+    Zs = []
+    for lev, (C, Q) in zip(
+        struct.levels, _all_lowrank_row(pair_fn, theta, xpad, valid, struct,
+                                    dtype)
+    ):
+        Z = _row_anchor(
+            _level_anchor(
+                jnp.stack([C, Q], axis=1), struct, lev["p"]
+            ).reshape(n_pad, lev["c"]),
+            struct,
+        )
+        Zs.append(Z)
+
+    # --- upward sweep: factor each level, update coarser left factors -----
+    # The reference updates every ancestor's U factors one node at a time
+    # (``hodlr.h:153-164``); here each level's inverse hits ALL coarser
+    # levels' factors as one concatenated multi-RHS application — L x fewer
+    # dispatches and wider matmuls for the MXU.
+    if L:
+        widths = [Z.shape[1] for Z in Zs]
+        Tcat = _row_anchor(leaf_solve(jnp.concatenate(Zs, axis=1)), struct)
+        splits = list(np.cumsum(widths))[:-1]
+        T = list(jnp.split(Tcat, splits, axis=1))
+    else:
+        T = []
+    levels_out = [None] * L
+    for li in range(L - 1, -1, -1):   # li = level index (0 = root split)
+        lev = struct.levels[li]
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        Zb = _level_anchor(Zs[li].reshape(p, 2, s, c), struct, p)
+        Tb = _level_anchor(T[li].reshape(p, 2, s, c), struct, p)
+        P, Q = Zb[:, 0], Zb[:, 1]
+        Pt, Qt_ = Tb[:, 0], Tb[:, 1]
+        # SMW core assembly/inversion feeds the logdet: always full f32
+        with jax.default_matmul_precision("highest"):
+            upper = jnp.einsum("psc,psd->pcd", Q, Qt_)      # Q^T Qtilde
+            lower = jnp.einsum("psc,psd->pcd", P, Pt)       # P^T Ptilde
+            eye = jnp.eye(c, dtype=dtype)
+            zero = jnp.zeros((p, c, c), dtype=dtype)
+            core = jnp.concatenate(
+                [
+                    jnp.concatenate([eye + zero, upper], axis=-1),
+                    jnp.concatenate([lower, eye + zero], axis=-1),
+                ],
+                axis=-2,
+            )                                                # (p, 2c, 2c)
+            core = _level_anchor(core, struct, p)
+            core_inv, ld = _core_inv_slogdet(core, struct)
+        logdet = logdet + jnp.sum(ld)
+        levels_out[li] = (Zs[li], T[li], core_inv)
+
+        if li > 0:
+            # Ancestor update: this level's inverse hits ALL coarser
+            # levels' factors. One wide concatenated application is the
+            # dispatch-optimal form (L x fewer calls, wider matmuls for
+            # the MXU) — but the concat temps are (n_pad, c*li) and the
+            # scheduler keeps several alive across the level loop: at
+            # N=1e6 / L=10 they alone held ~2.1 G of HBM (7 live copies
+            # of the width-60 mid-sweep update, measured round 4). Past
+            # the width budget, apply in width-bounded groups instead:
+            # same FLOPs/traffic, bounded liveness.
+            width = c * li
+            itemsize = jnp.dtype(diag_pad.dtype).itemsize
+            if n_pad * width * itemsize <= _ANCESTOR_UPDATE_BYTES:
+                groups = [list(range(li))]
+            else:
+                per = max(1, _ANCESTOR_UPDATE_BYTES
+                          // (n_pad * c * itemsize))
+                groups = [
+                    list(range(j, min(j + per, li)))
+                    for j in range(0, li, per)
+                ]
+            for grp in groups:
+                X = (T[grp[0]] if len(grp) == 1
+                     else jnp.concatenate([T[j] for j in grp], axis=1))
+                X = _row_anchor(
+                    _factor_apply_inv_row(Zs[li], T[li], core_inv, p, s, c,
+                                      X, struct.remat, struct),
+                    struct,
+                )
+                if len(grp) == 1:
+                    T[grp[0]] = X
+                else:
+                    offs = list(np.cumsum(
+                        [T[j].shape[1] for j in grp]
+                    ))[:-1]
+                    for j, piece in zip(grp, jnp.split(X, offs, axis=1)):
+                        T[j] = piece
+
+    factors = {"Lleaf": Lleaf, "levels": levels_out}
+    return factors, logdet
+
+
+@full_precision_matmuls
+def _hodlr_solve_row(factors, struct, X):
+    """``K^{-1} X`` through the factor cascade: ``D^{-1}`` then
+    ``F_L^{-1} ... F_1^{-1}`` (finest first)."""
+    Lleaf = factors["Lleaf"]
+    B, m, _ = Lleaf.shape
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    X = _row_anchor(
+        jax.vmap(_cho_solve_lower)(Lleaf, X.reshape(B, m, -1)).reshape(
+            X.shape
+        ),
+        struct,
+    )
+    for li in range(struct.L - 1, -1, -1):
+        lev = struct.levels[li]
+        Z, T, core_inv = factors["levels"][li]
+        X = _row_anchor(
+            _factor_apply_inv_row(
+                Z, T, core_inv, lev["p"], lev["s"], lev["c"], X,
+                struct.remat, struct,
+            ),
+            struct,
+        )
+    return X[:, 0] if squeeze else X
+
+
+@full_precision_matmuls
+def _hodlr_matvec_factors_row(factors, struct, X):
+    """Compressed matvec ``(K_bar + diag) X`` rebuilt from the
+    factorization itself — ZERO kernel re-assembly.
+
+    ``hodlr_matvec`` re-evaluates every leaf gram and skeleton entry
+    (the dominant per-call cost at large N: ~1 GB of kernel entries at
+    N=1e6), which made each refinement step as expensive as the
+    factorization. But the factors already hold everything the matvec
+    needs: the leaf blocks as their Cholesky factors
+    (``L L^T = K_leaf + diag`` — two batched triangular matmuls, the
+    same FLOPs as one dense block matmul, backward error O(eps||K||),
+    i.e. the same rounding class as a fresh assembly) and the raw
+    skeleton factors ``Z = [C, Q]`` per level. Only valid for the
+    non-symmetric cascade's factor pytree."""
+    Lleaf = factors["Lleaf"]
+    B, m, _ = Lleaf.shape
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    k = X.shape[-1]
+    Xb = X.reshape(B, m, k)
+    Y = jnp.einsum(
+        "bij,bjk->bik", Lleaf,
+        jnp.einsum("bji,bjk->bik", Lleaf, Xb),
+    ).reshape(X.shape)
+    for li, lev in enumerate(struct.levels):
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        Z = factors["levels"][li][0]
+        Zb = Z.reshape(p, 2, s, c)
+        C, Q = Zb[:, 0], Zb[:, 1]
+        Xl = X.reshape(p, 2, s, k)
+        qx = jnp.einsum("psc,psk->pck", Q, Xl[:, 1])
+        px = jnp.einsum("psc,psk->pck", C, Xl[:, 0])
+        add_l = jnp.einsum("psc,pck->psk", C, qx)
+        add_r = jnp.einsum("psc,pck->psk", Q, px)
+        Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
+    return Y[:, 0] if squeeze else Y
+
+
+@full_precision_matmuls
+def _hodlr_matvec_row(pair_fn, theta, xpad, valid, diag_pad, struct, X,
+                 include_diag=True):
+    """Structured matvec with the *compressed* matrix ``K_bar (+ diag)``
+    (reference ``apply_forward``, ``hodlr.h:242-259``): batched leaf-block
+    matmuls plus per-level low-rank couplings — O(N r log N)."""
+    n_pad, m = struct.n_pad, struct.m
+    B = n_pad // m
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    k = X.shape[-1]
+
+    xb = xpad.reshape(B, m, -1)
+    vb = valid.reshape(B, m)
+    db = diag_pad.reshape(B, m)
+    Xl = X.reshape(B, m, k)
+
+    def leaf_apply(xc, vc, dc, Xc):
+        Kc = jax.vmap(
+            lambda xa, va: _block_matrix(pair_fn, theta, xa, va, xa, va)
+        )(xc, vc)
+        if include_diag:
+            Kc = Kc + jax.vmap(jnp.diag)(dc)
+        return jnp.einsum("bij,bjk->bik", Kc, Xc)
+
+    # size the HBM budget from the materialized leaf-gram dtype (theta x
+    # xpad), not the probe dtype: mixed-precision calls (f32 probes on an
+    # f64-built kernel) would otherwise under-count by 2x
+    chunk = _leaf_chunk(B, m, jnp.result_type(theta.dtype, xpad.dtype))
+    if chunk is None:
+        Y = leaf_apply(xb, vb, db, Xl).reshape(X.shape)
+    else:
+        nc = B // chunk
+        Y = jax.lax.map(
+            lambda a: leaf_apply(*a),
+            (
+                xb.reshape(nc, chunk, m, -1),
+                vb.reshape(nc, chunk, m),
+                db.reshape(nc, chunk, m),
+                Xl.reshape(nc, chunk, m, k),
+            ),
+        ).reshape(X.shape)
+
+    for lev, (C, Q) in zip(
+        struct.levels,
+        _all_lowrank_row(pair_fn, theta, xpad, valid, struct, diag_pad.dtype),
+    ):
+        s, p, c = lev["s"], lev["p"], lev["c"]
+        Xb = X.reshape(p, 2, s, k)
+        # left rows += P (Q^T x_right); right rows += Q (P^T x_left)
+        qx = jnp.einsum("psc,psk->pck", Q, Xb[:, 1])
+        px = jnp.einsum("psc,psk->pck", C, Xb[:, 0])
+        add_l = jnp.einsum("psc,pck->psk", C, qx)
+        add_r = jnp.einsum("psc,pck->psk", Q, px)
+        Y = Y + jnp.stack([add_l, add_r], axis=1).reshape(Y.shape)
+    return Y[:, 0] if squeeze else Y
 
 
 # Deep f32 trees need precision-hardened SMW cores: the f32-COMPUTED
@@ -577,7 +963,7 @@ def _leaf_cholesky_chunked(pair_fn, theta, xb, vb, db, remat):
 
 
 @full_precision_matmuls
-def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
+def _hodlr_factor_t(pair_fn, theta, xpad, valid, diag_pad, struct):
     """Factorize ``K_compressed + diag`` level-by-level.
 
     Returns ``(factors, logdet)`` where ``factors`` is a pytree:
@@ -605,8 +991,8 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
     # --- raw skeleton factors, all levels assembled in one batch ---------
     Zs = []
     for lev, (Ct, Qt) in zip(
-        struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
-                                    dtype)
+        struct.levels, _all_lowrank_t(pair_fn, theta, xpad, valid,
+                                      struct, dtype)
     ):
         # (c, p, s) halves -> transposed full-row layout (c, n_pad)
         Zt = _row_anchor_t(
@@ -682,8 +1068,8 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
                 X = (T[grp[0]] if len(grp) == 1
                      else jnp.concatenate([T[j] for j in grp], axis=0))
                 X = _row_anchor_t(
-                    _factor_apply_inv(Zs[li], T[li], core_inv, p, s, c,
-                                      X, struct.remat, struct),
+                    _factor_apply_inv_t(Zs[li], T[li], core_inv, p, s,
+                                        c, X, struct.remat, struct),
                     struct,
                 )
                 if len(grp) == 1:
@@ -697,6 +1083,23 @@ def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
 
     factors = {"Lleaf": Lleaf, "levels": levels_out}
     return factors, logdet
+
+
+def hodlr_factor(pair_fn, theta, xpad, valid, diag_pad, struct):
+    """Factorize ``K_compressed + diag`` level-by-level.
+
+    Returns ``(factors, logdet)``; the factor pytree's level layout
+    depends on ``struct.transposed`` — row ``(n_pad, c)`` factors below
+    the large-N threshold (faster XLA reverse mode), transposed
+    ``(c, n_pad)`` above it (fits the N=1e6 split in HBM). Treat the
+    pytree as opaque and consume it through :func:`hodlr_solve` /
+    :func:`hodlr_matvec_factors`, which dispatch on the same flag.
+    """
+    if struct.transposed:
+        return _hodlr_factor_t(pair_fn, theta, xpad, valid, diag_pad,
+                               struct)
+    return _hodlr_factor_row(pair_fn, theta, xpad, valid, diag_pad,
+                             struct)
 
 
 def _row_anchor(X, struct):
@@ -783,7 +1186,7 @@ def _leaf_solve_t(Lleaf, Xt):
     return z2.transpose(1, 0, 2).reshape(k, B * m)
 
 
-def _factor_apply_inv(Zt, Tt, core_inv, p, s, c, Xt, remat=True,
+def _factor_apply_inv_t(Zt, Tt, core_inv, p, s, c, Xt, remat=True,
                       struct=None):
     """Apply ``F_l^{-1} = I - W (I + Z^T W)^{-1} Z^T`` to transposed
     ``Xt (k, n_pad)`` (SMW; reference per-node solve ``hodlr.h:792-845``).
@@ -830,7 +1233,7 @@ def _solve_t(factors, struct, Xt):
         lev = struct.levels[li]
         Zt, Tt, core_inv = factors["levels"][li]
         Xt = _row_anchor_t(
-            _factor_apply_inv(
+            _factor_apply_inv_t(
                 Zt, Tt, core_inv, lev["p"], lev["s"], lev["c"], Xt,
                 struct.remat, struct,
             ),
@@ -843,8 +1246,10 @@ def _solve_t(factors, struct, Xt):
 def hodlr_solve(factors, struct, X):
     """``K^{-1} X`` through the factor cascade: ``D^{-1}`` then
     ``F_L^{-1} ... F_1^{-1}`` (finest first). ``X``: ``(n_pad,)`` or
-    ``(n_pad, k)`` (row layout at the public boundary; the cascade runs
-    transposed internally — see :func:`_factor_apply_inv`)."""
+    ``(n_pad, k)``; dispatches on the struct's cascade layout (see
+    ``HODLRStructure.transposed``)."""
+    if not struct.transposed:
+        return _hodlr_solve_row(factors, struct, X)
     squeeze = X.ndim == 1
     Xt = X[None, :] if squeeze else X.T
     Xt = _solve_t(factors, struct, Xt)
@@ -866,6 +1271,8 @@ def hodlr_matvec_factors(factors, struct, X):
     i.e. the same rounding class as a fresh assembly) and the raw
     skeleton factors ``Z = [C, Q]`` per level. Only valid for the
     non-symmetric cascade's factor pytree."""
+    if not struct.transposed:
+        return _hodlr_matvec_factors_row(factors, struct, X)
     squeeze = X.ndim == 1
     Xt = X[None, :] if squeeze else X.T
     Yt = _matvec_factors_t(factors, struct, Xt)
@@ -929,17 +1336,21 @@ def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
     """
     squeeze = X.ndim == 1
     Xt = X[None, :] if squeeze else X.T
-    Z = _solve_t(factors, struct, Xt)
-
-    def mv(V):
-        # the compressed operator straight from the factors (no kernel
-        # re-assembly): refinement's extra cost drops from ~2 full
-        # assembly passes per step to a few bandwidth-bound matmuls
-        return _matvec_factors_t(factors, struct, V)
-
+    if struct.transposed:
+        slv = lambda V: _solve_t(factors, struct, V)  # noqa: E731
+        mv = lambda V: _matvec_factors_t(  # noqa: E731
+            factors, struct, V)
+    else:
+        slv = lambda V: hodlr_solve(factors, struct, V.T).T  # noqa: E731
+        mv = lambda V: hodlr_matvec_factors(  # noqa: E731
+            factors, struct, V.T).T
+    Z = slv(Xt)
+    # the compressed operator straight from the factors (no kernel
+    # re-assembly): refinement's extra cost drops from ~2 full
+    # assembly passes per step to a few bandwidth-bound matmuls
     R = Xt - mv(Z)
     for _ in range(steps):
-        D = _solve_t(factors, struct, R)
+        D = slv(R)
         KD = mv(D)
         w = jnp.sum(R * KD, axis=1) / jnp.maximum(
             jnp.sum(KD * KD, axis=1), jnp.finfo(X.dtype).tiny
@@ -960,12 +1371,6 @@ def hodlr_solve_refined(pair_fn, theta, xpad, valid, diag_pad, struct,
 # (round 4) — the live set holds ~3 chunk-sized temps, and the N=1e5
 # headline leaf sweep (51 MB) stays un-chunked either way.
 _LEAF_MATVEC_CHUNK_BYTES = 64 * 1024 * 1024
-
-# Above this padded size the fused Hutchinson gradient streams its
-# theta-basis tangents sequentially (lax.map over a linearized matvec)
-# instead of one vectorized jacfwd batch — the batch multiplies the
-# skeleton-assembly temps by n_params (round-4 N=1e6 OOM).
-_JACFWD_VECTORIZE_MAX_NPAD = 300_000
 
 # Width budget (bytes) for one concatenated ancestor-update application
 # in the factor sweep: the N=1e5 headline (width 120 -> 48 MB) keeps the
@@ -993,6 +1398,9 @@ def hodlr_matvec(pair_fn, theta, xpad, valid, diag_pad, struct, X,
     """Structured matvec with the *compressed* matrix ``K_bar (+ diag)``
     (reference ``apply_forward``, ``hodlr.h:242-259``): batched leaf-block
     matmuls plus per-level low-rank couplings — O(N r log N)."""
+    if not struct.transposed:
+        return _hodlr_matvec_row(pair_fn, theta, xpad, valid, diag_pad,
+                                 struct, X, include_diag)
     squeeze = X.ndim == 1
     Xt = X[None, :] if squeeze else X.T
     Yt = _matvec_t(pair_fn, theta, xpad, valid, diag_pad, struct, Xt,
@@ -1044,7 +1452,8 @@ def _matvec_t(pair_fn, theta, xpad, valid, diag_pad, struct, Xt,
 
     for lev, (Ct, Qt) in zip(
         struct.levels,
-        _all_lowrank(pair_fn, theta, xpad, valid, struct, diag_pad.dtype),
+        _all_lowrank_t(pair_fn, theta, xpad, valid, struct,
+                       diag_pad.dtype),
     ):
         s, p, c = lev["s"], lev["p"], lev["c"]
         Xb = Xt.reshape(k, p, 2, s)
@@ -1095,9 +1504,26 @@ def hodlr_loglike_and_grad_hutchinson(
             pair_fn, theta, xpad, valid, diag_pad, struct
         )
     # transposed throughout: multi-RHS batches are (k, n_pad), long row
-    # axis minor (see _factor_apply_inv — the row-major layout padded
+    # axis minor (see _factor_apply_inv_t — the row-major layout padded
     # the k<=9 lane dim to 128 on TPU, 14x HBM/bandwidth on every
-    # solve/matvec buffer here)
+    # solve/matvec buffer here). On a row-layout struct (small N) the
+    # same math routes through the public row functions with boundary
+    # transposes — cheap at those sizes.
+    if struct.transposed:
+        _solve = lambda Xt: _solve_t(factors, struct, Xt)  # noqa: E731
+        _mvf = lambda Xt: _matvec_factors_t(  # noqa: E731
+            factors, struct, Xt)
+        _mv_nd = lambda th, Xt: _matvec_t(  # noqa: E731
+            pair_fn, th, xpad, valid, diag_pad, struct, Xt,
+            include_diag=False)
+    else:
+        _solve = lambda Xt: hodlr_solve(  # noqa: E731
+            factors, struct, Xt.T).T
+        _mvf = lambda Xt: hodlr_matvec_factors(  # noqa: E731
+            factors, struct, Xt.T).T
+        _mv_nd = lambda th, Xt: hodlr_matvec(  # noqa: E731
+            pair_fn, th, xpad, valid, diag_pad, struct, Xt.T,
+            include_diag=False).T
     probes = jax.random.rademacher(
         key, (num_probes, struct.n_pad), dtype=r_pad.dtype
     )
@@ -1130,8 +1556,8 @@ def hodlr_loglike_and_grad_hutchinson(
         # a 1.3e-1 ll error into 1.3e+0 there), so the correction is
         # gated on the measured residual ratio and degrades to the
         # uncorrected logdet outside its validity regime.
-        sol0 = _solve_t(factors, struct, rhs)
-        R0 = rhs - _matvec_factors_t(factors, struct, sol0)
+        sol0 = _solve(rhs)
+        R0 = rhs - _mvf(sol0)
         trE = -jnp.mean(jnp.sum(probes * R0[1:], axis=1))
         rho2 = jnp.mean(
             jnp.sum(R0[1:] ** 2, axis=1)
@@ -1141,8 +1567,8 @@ def hodlr_loglike_and_grad_hutchinson(
         R = R0
         trE2 = None
         for _ in range(refine_steps):
-            D = _solve_t(factors, struct, R)
-            KD = _matvec_factors_t(factors, struct, D)
+            D = _solve(R)
+            KD = _mvf(D)
             if trE2 is None:
                 # E u = -r_u, E(E u) = r_u - K_bar D_u: second-order
                 # trace term free from the first refinement step
@@ -1158,7 +1584,7 @@ def hodlr_loglike_and_grad_hutchinson(
             rho2 < 0.25, trE - 0.5 * trE2, 0.0
         )
     else:
-        sol = _solve_t(factors, struct, rhs)
+        sol = _solve(rhs)
     alpha, Kinv_u = sol[0], sol[1:]
     quad = jnp.dot(r_pad, alpha)
     ll = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
@@ -1166,36 +1592,23 @@ def hodlr_loglike_and_grad_hutchinson(
     av = jnp.concatenate([alpha[None, :], probes], axis=0)
 
     def mv(th):
-        return _matvec_t(
-            pair_fn, th, xpad, valid, diag_pad, struct, av,
-            include_diag=False,
-        )
+        return _mv_nd(th, av)
 
     T = theta.shape[0]
     eyeT = jnp.eye(T, dtype=theta.dtype)
-    if struct.n_pad <= _JACFWD_VECTORIZE_MAX_NPAD:
-        # One batched forward pass for every theta direction at once
-        # (vmapped jvp over the basis tangents, tangent axis FIRST so
-        # the long row axis stays minor — jacfwd would put the T axis
-        # last, padding it to 128 lanes). dK_av_t: (T, 1 + P, n_pad).
-        dK_av_t = jax.vmap(
-            lambda e: jax.jvp(mv, (theta,), (e,))[1]
-        )(eyeT)
-    else:
-        # Very large N: the vectorized tangent batch multiplies the
-        # all-levels skeleton-factor temps by T — at N=1e6 / T=4 that
-        # batch alone held 1.19 G of HBM on top of ~2 G of primal/remat
-        # copies (round-4 OOM dump). Stream the basis tangents through
-        # ``lax.map`` and RE-LINEARIZE inside the mapped body:
-        # ``jax.linearize`` outside the loop would store the
-        # linearization residuals — including the full (B, m, m) leaf
-        # grams, 2 x 3.8 G at N=1e6/m=977 (round-5 OOM dump: XLA kept a
-        # compressed AND an uncompressed copy) — for the whole sweep.
-        # Recomputing the primal per tangent costs T-1 extra assembly
-        # passes (~ms each) and bounds live temps at one tangent's chunk.
-        dK_av_t = jax.lax.map(
-            lambda e: jax.jvp(mv, (theta,), (e,))[1], eyeT
-        )                                       # (T, 1 + P, n_pad)
+    # One batched forward pass for every theta direction at once: vmap
+    # of jvp keeps the PRIMAL un-batched (it does not depend on the
+    # tangent axis) and batches only the tangent-linear ops, with the
+    # tangent axis FIRST so the long row axis stays minor (jacfwd would
+    # put the T axis last, padding it to 128 lanes). In the row layout
+    # this batch's skeleton temps held 1.19 G at N=1e6 (round-4 OOM) and
+    # tangents had to stream through lax.map with the primal recomputed
+    # per direction; the transposed layout shrinks those temps ~10x, so
+    # one vectorized pass is both the fast and the memory-safe form at
+    # every N. dK_av_t: (T, 1 + P, n_pad).
+    dK_av_t = jax.vmap(
+        lambda e: jax.jvp(mv, (theta,), (e,))[1]
+    )(eyeT)
     quad_terms = 0.5 * jnp.einsum("i,ti->t", alpha, dK_av_t[:, 0, :])
     trace_terms = 0.5 * jnp.mean(
         jnp.einsum("pi,tpi->tp", Kinv_u, dK_av_t[:, 1:, :]), axis=1
@@ -1251,16 +1664,11 @@ def hodlr_factor_sym(pair_fn, theta, xpad, valid, diag_pad, struct):
         return jax.vmap(one)(Lleaf, X.reshape(B, m, -1)).reshape(X.shape)
 
     Us, Vs = [], []
-    for lev, (Ct, Qt) in zip(
-        struct.levels, _all_lowrank(pair_fn, theta, xpad, valid, struct,
-                                    dtype)
+    for lev, (C, Q) in zip(
+        struct.levels, _all_lowrank_row(pair_fn, theta, xpad, valid,
+                                        struct, dtype)
     ):
         c = lev["c"]
-        # _all_lowrank returns transposed (c, p, s) halves; the symmetric
-        # cascade keeps its original row layout (it is not the large-N
-        # hot path), so convert here
-        C = jnp.moveaxis(Ct, 0, 2)                       # (p, s, c)
-        Q = jnp.moveaxis(Qt, 0, 2)
         # full-row layout: U rows live on left blocks, V rows on right
         U = jnp.stack([C, jnp.zeros_like(Q)], axis=1).reshape(n_pad, c)
         V = jnp.stack([jnp.zeros_like(C), Q], axis=1).reshape(n_pad, c)

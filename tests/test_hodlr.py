@@ -326,20 +326,22 @@ def test_hutchinson_loglike_and_grad_function():
     assert np.isclose(float(ll_h), float(ll_g), rtol=1e-12)
     assert np.allclose(np.asarray(g_h), np.asarray(g_g), rtol=1e-8)
 
-    # the streamed-tangent gradient (lax.map over a linearized matvec —
-    # the large-N form that keeps the N=1e6 jacfwd batch out of HBM)
-    # computes the same derivative as the vectorized jacfwd batch
-    saved_j = hodlr_mod._JACFWD_VECTORIZE_MAX_NPAD
+    # the TRANSPOSED cascade layout (the large-N form: skeleton factors
+    # (c, n_pad) / RHS (k, n_pad), which is what fits the N=1e6 split in
+    # HBM) computes the same factorization, log-likelihood and gradient
+    # as the row layout to rounding
+    saved_t = st.transposed
     try:
-        hodlr_mod._JACFWD_VECTORIZE_MAX_NPAD = 0
+        st.transposed = True
         ll_s, g_s = hodlr_loglike_and_grad_hutchinson(
             pair, theta, xj, vj, dj, rj, st, jax.random.PRNGKey(0),
             num_probes=48, n_real=len(x),
         )
     finally:
-        hodlr_mod._JACFWD_VECTORIZE_MAX_NPAD = saved_j
-    assert np.isclose(float(ll_h), float(ll_s), rtol=1e-12)
-    assert np.allclose(np.asarray(g_h), np.asarray(g_s), rtol=1e-6)
+        st.transposed = saved_t
+    assert np.isclose(float(ll_h), float(ll_s), rtol=1e-5)
+    assert np.allclose(np.asarray(g_h), np.asarray(g_s), rtol=1e-4,
+                       atol=1e-6)
 
     # the two-program split (precomputed factors threaded in as
     # arguments — bench.py's N=1e6 HBM form) is the same computation
