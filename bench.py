@@ -144,6 +144,7 @@ def main():
     use_f64 = (not on_tpu) and jax.config.jax_enable_x64
     dtype = np.float64 if use_f64 else np.float32
     kernel, x, y, yerr2, rank = _dataset(variant, n, dtype)
+    rank = int(os.environ.get("GEORGE_TPU_BENCH_RANK", rank))
 
     # min_size=128/rank=12 with ACA skeletons won the round-2 config sweep
     # for the smooth variant: 3e-8 relative log-likelihood / 1.2e-5

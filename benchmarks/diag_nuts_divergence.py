@@ -89,10 +89,10 @@ def main():
         "backend": jax.default_backend(),
         "n": n, "chains": args.chains, "seed": args.seed,
         "divergence_frac": round(float(div.mean()), 4),
-        "per_chain_div": [round(v, 3) for v in per_chain_div],
-        "per_chain_accept": [round(v, 3) for v in per_chain_acc],
-        "per_chain_depth": [round(v, 2) for v in per_chain_dep],
-        "per_chain_move_p0": [round(v, 4) for v in move],
+        "per_chain_div": [round(float(v), 3) for v in per_chain_div],
+        "per_chain_accept": [round(float(v), 3) for v in per_chain_acc],
+        "per_chain_depth": [round(float(v), 2) for v in per_chain_dep],
+        "per_chain_move_p0": [round(float(v), 4) for v in move],
     }), flush=True)
 
 

@@ -209,6 +209,11 @@ def cholesky(A):
 
 
 def _use_pallas(A):
+    import os
+
+    if os.environ.get("GEORGE_TPU_NO_PALLAS_CHOL") == "1":
+        # diagnostic escape hatch: force XLA's expansion everywhere
+        return False
     try:
         dev = jax.devices()[0].platform
     except Exception:  # pragma: no cover
