@@ -125,6 +125,17 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    # Expose a host CPU backend next to the accelerator so setup-time
+    # numerics that are precision-sensitive (the ACA pivot argmax walk —
+    # see select_aca_pivots) run in host arithmetic. Must happen before
+    # any backend initializes; keep the accelerator first so it stays
+    # the default.
+    try:
+        plats = jax.config.jax_platforms
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
 
     if len(sys.argv) > 1:
         n = int(sys.argv[1])

@@ -96,6 +96,10 @@ def main():
         # computed once on the CPU (2026-08-17); the H-matrix answer's
         # distance from it is dominated by the SLQ logdet MC noise
         truth = 2894.5753680081853
+    elif args.truth_n == 16000:
+        # exact f64 dense likelihood, CPU, 2026-08-20
+        # (benchmarks/diag_hmatrix_decomp.py --n 16000)
+        truth = 11762.457
     if truth is not None:
         out["ll_rel_err"] = round(abs(ll_small - truth) / abs(truth), 6)
         if not args.skip_weak:

@@ -25,6 +25,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from george_tpu.utils import expose_host_cpu
+    expose_host_cpu()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -29,6 +29,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         if os.environ.get("GEORGE_TPU_X64") == "1":
             jax.config.update("jax_enable_x64", True)
+    from george_tpu.utils import expose_host_cpu
+    expose_host_cpu()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -50,6 +52,14 @@ def main():
     kernel, x, y, yerr2, rank = benchmod._dataset("smooth", n, dtype)
     st = build_structure(n, min_size=min_size, rank=rank, seed=42,
                          x_sorted=x)
+    layout = os.environ.get("GEORGE_TPU_LAYOUT")
+    if layout == "row":
+        st.transposed = False
+    elif layout == "t":
+        st.transposed = True
+    if os.environ.get("GEORGE_TPU_NO_GROUPING") == "1":
+        import george_tpu.solvers.hodlr as _h
+        _h._ANCESTOR_UPDATE_BYTES = 1 << 60
     xpad = np.concatenate([x, np.repeat(x[-1:], st.n_pad - n, axis=0)]
                           ).astype(dtype)
     valid = np.zeros(st.n_pad, dtype=bool)

@@ -17,6 +17,7 @@ Usage::
     python benchmarks/profile_1e5.py [n] [variant]
 """
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from george_tpu.utils import expose_host_cpu
+    expose_host_cpu()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -48,7 +51,9 @@ def main():
     dtype = np.float64 if use_f64 else np.float32
     kernel, x, y, yerr2, rank = benchmod._dataset(variant, n, dtype)
 
-    st = build_structure(n, min_size=128, rank=rank, seed=42, x_sorted=x)
+    min_size = int(os.environ.get("GEORGE_TPU_BENCH_MIN_SIZE", 128))
+    st = build_structure(n, min_size=min_size, rank=rank, seed=42,
+                         x_sorted=x)
     xpad = np.concatenate(
         [x, np.repeat(x[-1:], st.n_pad - n, axis=0)]
     ).astype(dtype)
@@ -113,9 +118,24 @@ def main():
     vag = jax.jit(jax.value_and_grad(loglike))
 
     thetas = [theta + 1e-5 * k for k in range(16)]
+    counter = [0]
 
     def timed(fn, args_of):
         jax.block_until_ready(fn(args_of(thetas[0])))
+        if n > 300_000:
+            # big-N: queueing 16 calls would hold 16 multi-GB outputs
+            # in HBM at once — block per call with unique inputs (the
+            # serving runtime replays cached (program, input) pairs)
+            best = np.inf
+            for _ in range(2):
+                for _k in range(3):
+                    counter[0] += 1
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(
+                        fn(args_of(theta + 1e-7 * counter[0]))
+                    )
+                    best = min(best, time.perf_counter() - t0)
+            return best
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
@@ -134,10 +154,13 @@ def main():
     out["lowrank_ms"] = round(1e3 * timed(lowrank, lambda t: t), 2)
     out["factor_ms"] = round(1e3 * timed(factor, lambda t: t), 2)
     out["factor_solve_ms"] = round(1e3 * timed(solve_with, lambda t: t), 2)
-    out["loglike_ms"] = round(1e3 * timed(ll_j, lambda t: t), 2)
-    out["vag_ms"] = round(1e3 * timed(vag, lambda t: t), 2)
-    ll0, _ = vag(theta)
-    out["ll"] = float(ll0)
+    if n <= 300_000:
+        # reverse-mode through the factorization exceeds HBM above this
+        # (bench.py switches to the Hutchinson split there)
+        out["loglike_ms"] = round(1e3 * timed(ll_j, lambda t: t), 2)
+        out["vag_ms"] = round(1e3 * timed(vag, lambda t: t), 2)
+        ll0, _ = vag(theta)
+        out["ll"] = float(ll0)
     print(json.dumps(out), flush=True)
 
 

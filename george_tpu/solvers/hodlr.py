@@ -325,20 +325,45 @@ def _aca_level_pivots(pair_fn, theta, xl, vl, xr, vr, c):
 
 def select_aca_pivots(pair_fn, theta, xpad, valid, struct):
     """Re-pivot every level of ``struct`` with kernel-adaptive ACA
-    skeletons (in place), then rebuild the flattened index arrays."""
-    xj = jnp.asarray(xpad)
-    vj = jnp.asarray(valid)
-    theta = jnp.asarray(theta)
-    for lev in struct.levels:
-        s, p, c = lev["s"], lev["p"], lev["c"]
-        xb = xj.reshape(p, 2, s, -1)
-        vb = vj.reshape(p, 2, s)
-        Ipiv, Jpiv = _aca_level_pivots(
-            pair_fn, theta, xb[:, 0], vb[:, 0], xb[:, 1], vb[:, 1], c
-        )
-        base = (np.arange(p, dtype=np.int64) * 2 * s)[:, None]
-        lev["row_piv"] = base + np.asarray(Ipiv, dtype=np.int64)
-        lev["col_piv"] = base + s + np.asarray(Jpiv, dtype=np.int64)
+    skeletons (in place), then rebuild the flattened index arrays.
+
+    Pivot selection PREFERS the host CPU backend when one is exposed:
+    the ACA sweep's residual downdates are cancellation-heavy and its
+    argmax choices flip under accelerator arithmetic — measured at
+    N=1e6/L=11 on a v5e, chip-selected pivots left the factored
+    inverse with solve-residual rho2 = 11.8 vs 1.1 for CPU-selected
+    pivots on the SAME chip factorization (round 5,
+    ``results_r05/parts_1e6_chip*``). Pivots are static setup-time
+    indices, so where they are computed is free to choose; expose a CPU
+    alongside the accelerator with
+    ``jax.config.update("jax_platforms", "tpu,cpu")`` (bench.py does).
+    """
+    xj_host = np.asarray(xpad)
+    vj_host = np.asarray(valid)
+    th_host = np.asarray(theta)
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except Exception:
+        cpu_dev = None
+
+    import contextlib
+    ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
+           else contextlib.nullcontext())
+    with ctx:
+        xj = jnp.asarray(xj_host)
+        vj = jnp.asarray(vj_host)
+        theta = jnp.asarray(th_host)
+        for lev in struct.levels:
+            s, p, c = lev["s"], lev["p"], lev["c"]
+            xb = xj.reshape(p, 2, s, -1)
+            vb = vj.reshape(p, 2, s)
+            Ipiv, Jpiv = _aca_level_pivots(
+                pair_fn, theta, xb[:, 0], vb[:, 0], xb[:, 1], vb[:, 1],
+                c
+            )
+            base = (np.arange(p, dtype=np.int64) * 2 * s)[:, None]
+            lev["row_piv"] = base + np.asarray(Ipiv, dtype=np.int64)
+            lev["col_piv"] = base + s + np.asarray(Jpiv, dtype=np.int64)
     struct._build_flat()
 
 
@@ -1047,19 +1072,21 @@ def _hodlr_factor_t(pair_fn, theta, xpad, valid, diag_pad, struct):
             # Ancestor update: this level's inverse hits ALL coarser
             # levels' factors. One wide concatenated application is the
             # dispatch-optimal form (L x fewer calls, wider matmuls for
-            # the MXU) — but the concat temps are (c*li, n_pad) and the
-            # scheduler keeps several alive across the level loop: at
-            # N=1e6 / L=10 they alone held ~2.1 G of HBM (7 live copies
-            # of the width-60 mid-sweep update, measured round 4). Past
-            # the width budget, apply in width-bounded groups instead:
-            # same FLOPs/traffic, bounded liveness.
+            # the MXU) AND the accurate one: splitting into groups costs
+            # ~2x in the factored inverse's residual at N=1e6/L=11
+            # (measured round 5, rho2 0.89 ungrouped vs 1.70 grouped —
+            # the group boundaries interleave differently-rounded
+            # updates). The 96 MB budget guarded the ROW layout's
+            # 10.7x-padded concat temps; transposed temps are their
+            # logical size, so a 512 MB budget keeps every level of the
+            # N=1e6 sweep (width 120 -> 480 MB) in one wide application.
             width = c * li
             itemsize = jnp.dtype(diag_pad.dtype).itemsize
-            if n_pad * width * itemsize <= _ANCESTOR_UPDATE_BYTES:
+            budget = 512 * 1024 * 1024
+            if n_pad * width * itemsize <= budget:
                 groups = [list(range(li))]
             else:
-                per = max(1, _ANCESTOR_UPDATE_BYTES
-                          // (n_pad * c * itemsize))
+                per = max(1, budget // (n_pad * c * itemsize))
                 groups = [
                     list(range(j, min(j + per, li)))
                     for j in range(0, li, per)

@@ -122,3 +122,22 @@ def check_gradient(obj, *args, **kwargs):
                 obj.get_parameter_names()[i], i
             )
         )
+
+
+def expose_host_cpu():
+    """Add a host ``cpu`` backend alongside the accelerator (must run
+    before any backend initializes; no-op afterwards or when already
+    present). Setup-time numerics that are precision-sensitive — the
+    ACA pivot walk in ``solvers.hodlr.select_aca_pivots`` — then run in
+    host arithmetic while the compute path keeps the accelerator
+    (measured: chip-selected pivots cost 10x in factored-inverse
+    residual at N=1e6; round 5)."""
+    import jax
+
+    try:
+        plats = jax.config.jax_platforms
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+        return True
+    except Exception:
+        return False
