@@ -309,7 +309,24 @@ def main():
     # nothing and the mode boundary costs fusion. The env knob remains
     # for experiments; every timed run is anchor-gated either way.
     vag = make_vag()
-    ll0, _ = vag(theta)
+    # the remote-compile tunnel intermittently drops the connection
+    # mid-upload on the large unrolled programs ("response body closed
+    # before all bytes were read" — round-4/5 killed several runs);
+    # retrying recompiles from scratch and typically succeeds
+    for attempt in range(3):
+        try:
+            ll0, _ = vag(theta)
+            break
+        except Exception as e:  # pragma: no cover - tunnel flake
+            msg = str(e)
+            if attempt < 2 and ("remote_compile" in msg
+                                or "INTERNAL" in msg):
+                sys.stderr.write(
+                    "bench: remote compile dropped; retrying (%d)\n"
+                    % (attempt + 1))
+                time.sleep(10)
+                continue
+            raise
     check_anchor(ll0)
 
     # 16 queued evaluations: samplers/optimizers pipeline far more steps

@@ -129,6 +129,15 @@ def main():
     out["loglike_sec_first"] = round(time.perf_counter() - t0, 2)
     out["ll"] = round(ll, 2)
 
+    # repeat log-likelihood (compiled; varied y so the serving runtime
+    # cannot replay a cached pair) — the per-sampler-step cost
+    lt = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        _ = float(gp.log_likelihood(y + 1e-6 * (k + 1)))
+        lt.append(time.perf_counter() - t0)
+    out["loglike_sec_repeat"] = round(min(lt), 2)
+
     times = []
     for k in range(5):
         # vary the RHS so the serving runtime cannot replay a cached

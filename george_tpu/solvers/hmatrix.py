@@ -728,6 +728,26 @@ class HMatrixSolver(object):
             )[0]
             xpiv, vpiv = self._xpad[piv], self._valid[piv]
 
+            def _tri_solve_rows(Lg, Bq, rows_per_chunk=8192):
+                """``Bq Lg^{-T}`` with the row dimension streamed in
+                chunks: XLA's blocked triangular solve holds O(15)
+                RHS-sized temps live (measured 23-25 G at
+                n_pad=1e5/R=4096 — two OOMs, round 5); chunking bounds
+                them to one chunk's worth."""
+                nrows = Bq.shape[0]
+                nc = max(1, nrows // rows_per_chunk)
+                while nrows % nc:
+                    nc -= 1
+                Bc = Bq.reshape(nc, nrows // nc, Bq.shape[1])
+                out = jax.lax.map(
+                    lambda b: jax.lax.linalg.triangular_solve(
+                        Lg, b, left_side=False, lower=True,
+                        transpose_a=True,
+                    ),
+                    Bc,
+                )
+                return out.reshape(nrows, Bq.shape[1])
+
             @pinned_full_precision
             def _build_nystrom():
                 C = _block_matrix(pair, theta, self._xpad, self._valid,
@@ -740,8 +760,25 @@ class HMatrixSolver(object):
                 ) * jnp.eye(R, dtype=dtype)
                 LW = jnp.linalg.cholesky(Wr)
                 Bm = C / jnp.sqrt(self._diag_pad)[:, None]
-                Bm = jsl.solve_triangular(LW, Bm.T, lower=True).T
-                Q, Rq = jnp.linalg.qr(Bm)
+                Bm = _tri_solve_rows(LW, Bm)
+                # Tall-skinny orthonormalization by CholQR2 (gram +
+                # right-side triangular solves, one reorthogonalization
+                # pass), NOT Householder QR: at the auto-scaled rank
+                # (n_pad=1e5, R=4096) XLA's QR held ~14 (R, n_pad)
+                # temps and OOM'd at 23.6 G (round 5); CholQR2 peaks at
+                # ~3 basis-sized buffers and is orthogonal to working
+                # precision after the second pass.
+                def cholqr(Bq):
+                    G = Bq.T @ Bq
+                    ridge = (100.0 * eps * jnp.trace(G) / R
+                             ) * jnp.eye(R, dtype=dtype)
+                    Lg = jnp.linalg.cholesky(G + ridge)
+                    return _tri_solve_rows(Lg, Bq), Lg
+
+                Q1, L1 = cholqr(Bm)
+                Q, L2 = cholqr(Q1)
+                # Bm = Q (L2^T L1^T): the small factor replaces QR's R
+                Rq = L2.T @ L1.T
                 lam, U = jnp.linalg.eigh(Rq @ Rq.T)
                 return Q @ U, jnp.maximum(lam, 0.0)
 

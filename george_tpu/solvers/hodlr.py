@@ -347,12 +347,30 @@ def select_aca_pivots(pair_fn, theta, xpad, valid, struct):
         cpu_dev = None
 
     import contextlib
-    ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
-           else contextlib.nullcontext())
+    if cpu_dev is not None:
+        enable_x64 = jax.enable_x64
+
+        # host CPU + scoped x64: the walk runs in TRUE float64 — the
+        # argmax choices then stop depending on which f32 flavor
+        # (chip 'highest' vs CPU FMA) rounded the downdates, which
+        # measurably flipped pivot quality per kernel family (round 5:
+        # chip pivots cost 10x residual on the smooth kernel; CPU-f32
+        # pivots cost 3x anchor error on the quasi-periodic one)
+        ctx = contextlib.ExitStack()
+        ctx.enter_context(jax.default_device(cpu_dev))
+        ctx.enter_context(enable_x64())
+        work_dtype = jnp.float64
+    else:
+        ctx = contextlib.nullcontext()
+        work_dtype = None
     with ctx:
-        xj = jnp.asarray(xj_host)
+        if work_dtype is not None:
+            xj = jnp.asarray(xj_host, dtype=work_dtype)
+            theta = jnp.asarray(th_host, dtype=work_dtype)
+        else:
+            xj = jnp.asarray(xj_host)
+            theta = jnp.asarray(th_host)
         vj = jnp.asarray(vj_host)
-        theta = jnp.asarray(th_host)
         for lev in struct.levels:
             s, p, c = lev["s"], lev["p"], lev["c"]
             xb = xj.reshape(p, 2, s, -1)
