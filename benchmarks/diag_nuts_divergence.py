@@ -28,6 +28,7 @@ def main():
     parser.add_argument("--max-depth", type=int, default=8)
     parser.add_argument("--segment", type=int, default=8)
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--target-accept", type=float, default=0.8)
     args = parser.parse_args()
 
     import jax
@@ -72,7 +73,7 @@ def main():
         jax.random.PRNGKey(args.seed), log_prob, jnp.asarray(p0),
         num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, segment_size=args.segment,
-        target_accept=0.8, dense_mass=True,
+        target_accept=args.target_accept, dense_mass=True,
     )
     div = np.asarray(stats["diverging"], dtype=np.float64)
     acc = np.asarray(stats["accept"], dtype=np.float64)
@@ -88,6 +89,7 @@ def main():
         "metric": "nuts_divergence_diag",
         "backend": jax.default_backend(),
         "n": n, "chains": args.chains, "seed": args.seed,
+        "target_accept": args.target_accept,
         "divergence_frac": round(float(div.mean()), 4),
         "per_chain_div": [round(float(v), 3) for v in per_chain_div],
         "per_chain_accept": [round(float(v), 3) for v in per_chain_acc],

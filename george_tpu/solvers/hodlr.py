@@ -907,29 +907,26 @@ def _hodlr_matvec_row(pair_fn, theta, xpad, valid, diag_pad, struct, X,
     return Y[:, 0] if squeeze else Y
 
 
-# Deep f32 trees need precision-hardened SMW cores: the f32-COMPUTED
-# explicit inverse of an ill-conditioned core carries kappa*eps forward
-# error in its entries, and the T-update chain amplifies it with O(1)
-# gain per level. Measured: the cascade is clean to 6.5e-4 at
-# L=11 (n=2e5) but reaches solve residual |Kz-r|/|r| = 9.0 on-chip at
-# L=13 (n=1e6) with a +1263-nat logdet bias. An accurately-computed,
-# then f32-CAST inverse is benign (the f64-build/f32-solve precision
-# ladder rung reproduces no error), so only the tiny (p, 2c, 2c) core
-# inverse + slogdet step needs hardening — double-single (two-float)
-# Gauss-Jordan on TPU (``ops/ds.py``), native f64 wherever x64 exists.
-_DS_CORE_MIN_LEVELS = 12
+# Double-single SMW cores are OPT-IN only (GEORGE_TPU_CORE_DS=1), never
+# automatic: the hypothesis that deep f32 trees need precision-hardened
+# core inverses was A/B-measured on-chip in round 5 (N=1e6, L=11,
+# ``results_r05/parts_1e6_chip_ds.out``) and REFUTED — the DS
+# Gauss-Jordan cores made the factored inverse's solve residual WORSE
+# (rho2 83 vs 11.8), consistent with the round-4 CPU attribution that
+# core-precision promotion does not fix the deep-cascade error (the
+# loss lives in the T-update chain, not the small inverses).
+# ``ops/ds.py`` remains a tested double-single utility.
 
 
 def _core_inv_slogdet(core, struct):
-    """Per-level SMW core inverse + log|det|, precision-hardened for
-    deep f32 trees (see ``_DS_CORE_MIN_LEVELS`` above).
+    """Per-level SMW core inverse + log|det|.
 
     Modes (static at trace time): f64 input -> plain ``linalg``;
     f32 with ``GEORGE_TPU_CORE_F64=1`` under x64 -> promote to f64 (the
-    CPU diagnostic rung, ``benchmarks/diag_attrib.py`` rung E); f32 on a
-    deep tree (or ``GEORGE_TPU_CORE_DS=1``) -> double-single
-    Gauss-Jordan; shallow f32 trees keep the plain path (measured clean,
-    and the headline bench budget is tight).
+    CPU diagnostic rung, ``benchmarks/diag_attrib.py`` rung E); f32 with
+    ``GEORGE_TPU_CORE_DS=1`` -> double-single Gauss-Jordan (opt-in
+    experiment only — the on-chip A/B REFUTED it as a default, see the
+    note above); otherwise plain f32.
     """
     import os as _os
 
@@ -940,12 +937,7 @@ def _core_inv_slogdet(core, struct):
             core_inv = jnp.linalg.inv(core64).astype(core.dtype)
             _, ld = jnp.linalg.slogdet(core64)
             return core_inv, ld.astype(core.dtype)
-        ds_env = _os.environ.get("GEORGE_TPU_CORE_DS")
-        use_ds = (
-            struct.L >= _DS_CORE_MIN_LEVELS if ds_env is None
-            else ds_env == "1"
-        )
-        if use_ds:
+        if _os.environ.get("GEORGE_TPU_CORE_DS") == "1":
             from ..ops.ds import ds_inv_logdet
 
             core_inv, ld, _sign = ds_inv_logdet(core)
