@@ -178,6 +178,9 @@ def main():
     ))
     st = build_structure(n, min_size=min_size, rank=rank, seed=42,
                          x_sorted=x)
+    layout_env = os.environ.get("GEORGE_TPU_BENCH_LAYOUT")
+    if layout_env in ("row", "t"):
+        st.transposed = layout_env == "t"
     # kernel-adaptive skeletons (same default as HODLRSolver): tighter
     # compression per rank than geometric FPS pivots, selected once here
     # and reused across every theta evaluation below
@@ -211,12 +214,10 @@ def main():
     def make_vag():
         # build + jit the evaluation (single precision mode: ``highest``
         # is the measured optimum — see the precision note below)
-        if n <= 150_000:
-            # exact autodiff gradient: one reverse sweep of the
-            # factorization. With the Pallas leaf Cholesky and
-            # full-precision contractions this is both faster than the
-            # Hutchinson path at N=1e5 (44 ms vs 47 ms on a v5e) and
-            # free of Monte-Carlo noise.
+        force_hutch = os.environ.get("GEORGE_TPU_BENCH_HUTCH") == "1"
+        if n < 100_000 and not force_hutch:
+            # small N: exact autodiff gradient — one reverse sweep of
+            # the factorization, free of Monte-Carlo noise.
             def loglike(th):
                 factors, logdet = hodlr_factor(pair, th, xj, vj, dj, st)
                 z = hodlr_solve(factors, st, rj)
@@ -225,6 +226,15 @@ def main():
                 )
 
             return jax.jit(jax.value_and_grad(loglike))
+        # N >= 1e5: Hutchinson gradient on the TRANSPOSED cascade — the
+        # reference's own large-N gradient (Regime B, ``gp.py:506-562``,
+        # nvec~10 probes) built forward-mode from one factorization.
+        # Measured round 5 (same serving window): 49.3 ms/eval vs
+        # 56.8 ms for exact-reverse/row at N=1e5, with a BETTER ll
+        # anchor (5.9e-4 vs 6.8e-4) — the reverse sweep through the
+        # row cascade was the single largest stage, and the transposed
+        # layout keeps every solve/probe buffer unpadded.
+        st.transposed = True
         # the very-large-N regime: exact quadratic terms + Hutchinson
         # traces (the reference's own large-N gradient, Regime B
         # ``gp.py:506-562`` with nvec=10 probes) built from one

@@ -29,6 +29,7 @@ def main():
     parser.add_argument("--segment", type=int, default=8)
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--target-accept", type=float, default=0.8)
+    parser.add_argument("--prior-scale", type=float, default=3.0)
     args = parser.parse_args()
 
     import jax
@@ -60,7 +61,7 @@ def main():
     center = jnp.asarray(gp.get_parameter_vector())
 
     def log_prior(th):
-        return -0.5 * jnp.sum(((th - center) / 3.0) ** 2)
+        return -0.5 * jnp.sum(((th - center) / args.prior_scale) ** 2)
 
     log_prob = gp.log_prob_fn(x, y, 0.1, gate_prior=False,
                               log_prior=log_prior)
@@ -90,6 +91,7 @@ def main():
         "backend": jax.default_backend(),
         "n": n, "chains": args.chains, "seed": args.seed,
         "target_accept": args.target_accept,
+        "prior_scale": args.prior_scale,
         "divergence_frac": round(float(div.mean()), 4),
         "per_chain_div": [round(float(v), 3) for v in per_chain_div],
         "per_chain_accept": [round(float(v), 3) for v in per_chain_acc],
