@@ -121,6 +121,22 @@ def main():
     rest_c = rest_l.compile()
     report("remainder", rest_c)
 
+    # the FUSED single program (factor + solves + gradient in one jit):
+    # pre-transpose it needed ~16.4 G; the transposed cascade may fit
+    def fused_fn(th, x_, v_, d_, r_, key_):
+        return hodlr_loglike_and_grad_hutchinson(
+            pair, th, x_, v_, d_, r_, st, key_,
+            num_probes=8, n_real=n, refine_steps=1,
+        )
+
+    print("lowering fused program...", flush=True)
+    fused_l = jax.jit(fused_fn).lower(thS, xS, vS, dS, rS, kS)
+    print("compiling fused program...", flush=True)
+    try:
+        report("fused", fused_l.compile())
+    except Exception as e:
+        print("fused: compile failed: %s" % str(e)[-200:], flush=True)
+
 
 if __name__ == "__main__":
     main()
