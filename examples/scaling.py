@@ -43,7 +43,11 @@ def main():
         print("exact   log-likelihood: {0:.4f}  (|diff| = {1:.2e})".format(
             ll_b, abs(ll_b - ll_h)
         ))
-        assert abs(ll_b - ll_h) / abs(ll_b) < 1e-4
+        # f64 (CPU): solver parity to ~1e-7. f32 accelerators: BOTH
+        # solvers carry ~1e-4-level rounding, so their DIFFERENCE sits
+        # at the f32 floor (measured on a v5e at n=1200: 1.1e-4)
+        tol = 1e-4 if jax.config.jax_enable_x64 else 5e-4
+        assert abs(ll_b - ll_h) / abs(ll_b) < tol
 
     # compact support: Wendland-tapered kernel + sparse solver. Sorted
     # 1-D data is banded, so this factors EXACTLY (block-tridiagonal
