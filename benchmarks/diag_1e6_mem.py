@@ -122,11 +122,18 @@ def main():
     report("remainder", rest_c)
 
     # the FUSED single program (factor + solves + gradient in one jit):
-    # pre-transpose it needed ~16.4 G; the transposed cascade may fit
+    # pre-transpose it needed ~16.4 G; the transposed cascade may fit.
+    # Knobs for compile-only what-if sweeps:
+    fprobes = int(os.environ.get("GEORGE_TPU_MEM_PROBES", 8))
+    fchunk = os.environ.get("GEORGE_TPU_MEM_LEAF_CHUNK_MB")
+    if fchunk:
+        import george_tpu.solvers.hodlr as _h
+        _h._LEAF_MATVEC_CHUNK_BYTES = int(fchunk) * 1024 * 1024
+
     def fused_fn(th, x_, v_, d_, r_, key_):
         return hodlr_loglike_and_grad_hutchinson(
             pair, th, x_, v_, d_, r_, st, key_,
-            num_probes=8, n_real=n, refine_steps=1,
+            num_probes=fprobes, n_real=n, refine_steps=1,
         )
 
     print("lowering fused program...", flush=True)

@@ -407,3 +407,37 @@ def test_hmatrix_apply_sqrt_lanczos():
     s = gp.sample(size=2)
     assert s.shape == (2, n)
     assert np.all(np.isfinite(s))
+
+
+def test_deep_tree_depth_aware_rank_and_auto_nystrom():
+    """Round-5 regression: at deeper trees the FIXED far rank starved the
+    coarse interaction pairs (6.3e-2 ll error at n=16000) and the fixed
+    rank-256 Nystrom whitener left a +1615-nat SLQ logdet bias. The
+    boundary-law depth-aware rank plus the auto-scaled whitener must
+    hold the likelihood to dense-oracle accuracy on a tree DEEP enough
+    that both defaults matter (min_size=32 -> several far levels with
+    growing rank; auto nystrom > 256)."""
+    n = 6000
+    rng = np.random.default_rng(11)
+    # domain scaled with n like the 2-D bench protocol, so coarse far
+    # pairs carry real coupling energy
+    x = rng.uniform(0, 12.0 * np.sqrt(n / 2000.0), (n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.7 * x[:, 1]) + 0.1 * rng.standard_normal(n)
+    yerr = 0.1 * np.ones(n)
+    kernel_of = lambda: 1.0 * kernels.ExpSquaredKernel(  # noqa: E731
+        [1.5, 1.5], ndim=2)
+
+    gp_b = GP(kernel_of(), solver=BasicSolver)
+    gp_b.compute(x, yerr=yerr)
+    lb = gp_b.log_likelihood(y)
+
+    gp_h = GP(kernel_of(), solver=HMatrixSolver, min_size=32, rank=12)
+    gp_h.compute(x, yerr=yerr)
+    hs = gp_h.solver._hs
+    # the defaults actually engaged: per-depth ranks grow toward the
+    # root and the whitener auto-scaled past the old fixed 256
+    cs = [lev["c"] for lev in hs.far]
+    assert max(cs) > min(cs)
+    assert gp_h.solver.nystrom_rank_effective > 256
+    lh = gp_h.log_likelihood(y)
+    assert abs(lh - lb) / abs(lb) < 1e-4
